@@ -128,7 +128,10 @@ class EntropyBottleneck(nn.Module):
                 m = jax.lax.stop_gradient(m)
                 b = jax.lax.stop_gradient(b)
             logits = jnp.einsum(
-                "cij,cjn->cin", jax.nn.softplus(m), logits
+                "cij,cjn->cin",
+                jax.nn.softplus(m),
+                logits,
+                precision=jax.lax.Precision.HIGHEST,
             ) + b
             if i < len(self.filters):
                 f = self._factors[i]
