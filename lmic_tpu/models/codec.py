@@ -1,0 +1,218 @@
+"""Host-side codec wrappers.
+
+A `Codec` owns a flax transform module, its trained variables, and the frozen
+integer CDF tables built by `update()`. `compress()` runs ONE jitted device
+pass per image batch (transforms, deterministic quantization, entropy
+parameters, scale-table bucketing all on the TPU), then crosses to the native
+rANS coder once with flat int32 arrays. `decompress()` mirrors it. This
+replaces the reference's per-tensor `.tolist()` marshaling and its
+encode-side simulated decompress round trip
+(compressai/models/google.py:325-344): `round(x - median) + median` is
+deterministic, so the encoder computes `z_hat` directly on device.
+
+API parity with the reference `CompressionModel` contract
+(google.py:58-123): `forward/__call__`, `compress -> {"strings", "shape"}`,
+`decompress -> {"x_hat"}`, `update(force)`, `aux_loss`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmic_tpu.entropy import coder as rans
+from lmic_tpu.entropy.entropy_models import (
+    EBState,
+    GaussianConditional,
+    GCState,
+    eb_update,
+    get_scale_table,
+    quantize_symbols,
+)
+
+
+class CompressionCodec:
+    """Base wrapper: module + variables + coding state."""
+
+    def __init__(self, module, variables):
+        self.module = module
+        self.variables = variables
+        self.eb_state: Optional[EBState] = None
+        self.gc_state: Optional[GCState] = None
+
+    # -- training/eval forward ------------------------------------------------
+    def __call__(self, x, training: bool = False, key=None):
+        rngs = {"noise": key} if training else None
+        return self.module.apply(
+            self.variables, x, training=training, rngs=rngs
+        )
+
+    def aux_loss(self):
+        return self.module.apply(
+            self.variables, method=type(self.module).aux_loss
+        )
+
+    # -- coding state ----------------------------------------------------------
+    def update(self, force: bool = False):
+        raise NotImplementedError
+
+    def compress(self, x) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def decompress(self, strings, shape) -> Dict[str, Any]:
+        raise NotImplementedError
+
+
+class FactorizedPriorCodec(CompressionCodec):
+    """bmshj2018-factorized coding wrapper."""
+
+    def __init__(self, module, variables):
+        super().__init__(module, variables)
+        cls = type(module)
+        self._g_a = jax.jit(
+            lambda x: module.apply(variables, x, method=cls.g_a)
+        )
+        self._g_s = jax.jit(
+            lambda y: jnp.clip(
+                module.apply(variables, y, method=cls.g_s), 0.0, 1.0
+            )
+        )
+
+    def update(self, force: bool = False):
+        if self.eb_state is not None and not force:
+            return False
+        from lmic_tpu.entropy.entropy_models import EntropyBottleneck
+
+        eb = EntropyBottleneck(channels=self.module.M)
+        self.eb_state = eb_update(
+            eb, {"params": self.variables["params"]["entropy_bottleneck"]}
+        )
+        return True
+
+    def compress(self, x):
+        self._check_updated()
+        y = np.asarray(self._g_a(jnp.asarray(x)))
+        y_strings = self.eb_state.compress(y)
+        return {"strings": [y_strings], "shape": y.shape[1:3]}
+
+    def decompress(self, strings, shape):
+        self._check_updated()
+        assert isinstance(strings, list) and len(strings) == 1
+        y_hat = self.eb_state.decompress(strings[0], tuple(shape))
+        x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
+        return {"x_hat": x_hat}
+
+    def _check_updated(self):
+        if self.eb_state is None:
+            raise RuntimeError("Uninitialized CDFs. Run update() first")
+
+
+class HyperpriorCodec(CompressionCodec):
+    """Coding wrapper for ScaleHyperprior / MeanScaleHyperprior.
+
+    Device pass layout (one jit each way):
+      encode: x -> y, z, z_hat(det), (sigma, mu), GC indexes, y symbols
+      decode: z_hat -> (sigma, mu), indexes;  y_hat -> x_hat
+    """
+
+    def __init__(self, module, variables):
+        super().__init__(module, variables)
+        cls = type(module)
+
+        def _analyze(x):
+            return module.apply(variables, x, method=cls.analyze)
+
+        def _dec_params(z_hat, scale_table):
+            scales, means = module.apply(
+                variables, z_hat, method=cls.hyper_to_params
+            )
+            gc = GaussianConditional()
+            indexes = gc.build_indexes(scale_table, scales)
+            return indexes, means
+
+        def _dec_synth(symbols, means):
+            y_hat = symbols.astype(jnp.float32)
+            if means is not None:
+                y_hat = y_hat + means
+            return jnp.clip(
+                module.apply(variables, y_hat, method=cls.g_s), 0.0, 1.0
+            )
+
+        self._analyze = jax.jit(_analyze)
+        # shared by compress AND decompress so entropy parameters — and
+        # therefore scale-bucket indexes — are bit-identical on both sides
+        self._dec_params = jax.jit(_dec_params)
+        self._dec_synth = jax.jit(_dec_synth)
+
+    def update(self, force: bool = False, scale_table=None):
+        if self.eb_state is not None and self.gc_state is not None and not force:
+            return False
+        from lmic_tpu.entropy.entropy_models import EntropyBottleneck
+
+        eb = EntropyBottleneck(channels=self.module.N)
+        self.eb_state = eb_update(
+            eb, {"params": self.variables["params"]["entropy_bottleneck"]}
+        )
+        if scale_table is None:
+            scale_table = get_scale_table()
+        self.gc_state = GaussianConditional().update(scale_table)
+        return True
+
+    def _check_updated(self):
+        if self.eb_state is None or self.gc_state is None:
+            raise RuntimeError("Uninitialized CDFs. Run update() first")
+
+    def compress(self, x):
+        self._check_updated()
+        y, z = jax.device_get(self._analyze(jnp.asarray(x)))
+        z_strings = self.eb_state.compress(z)
+        # deterministic z_hat: round(z - median) + median equals the decoder's
+        # coder roundtrip exactly (escape coding is lossless)
+        C = z.shape[-1]
+        medians = self.eb_state.medians.reshape(
+            (1,) * (z.ndim - 1) + (C,)
+        )
+        z_hat = np.round(z - medians) + medians
+        table = jnp.asarray(self.gc_state.scale_table)
+        indexes, means = jax.device_get(
+            self._dec_params(jnp.asarray(z_hat), table)
+        )
+        symbols = np.round(y - means if means is not None else y).astype(
+            np.int32
+        )
+        y_strings = [
+            rans.encode_with_indexes(
+                symbols[i], indexes[i], self.gc_state.table
+            )
+            for i in range(symbols.shape[0])
+        ]
+        return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+
+    def decompress(self, strings, shape):
+        self._check_updated()
+        assert isinstance(strings, list) and len(strings) == 2
+        y_strings, z_strings = strings[0], strings[1]
+        z_hat = self.eb_state.decompress(z_strings, tuple(shape))
+        table = jnp.asarray(self.gc_state.scale_table)
+        indexes, means = jax.device_get(
+            self._dec_params(jnp.asarray(z_hat), table)
+        )
+        symbols = np.stack(
+            [
+                rans.decode_with_indexes(
+                    s, indexes[i].reshape(-1), self.gc_state.table
+                ).reshape(indexes[i].shape)
+                for i, s in enumerate(y_strings)
+            ]
+        )
+        x_hat = np.asarray(
+            self._dec_synth(
+                jnp.asarray(symbols),
+                jnp.asarray(means) if means is not None else None,
+            )
+        )
+        return {"x_hat": x_hat}

@@ -1,0 +1,108 @@
+"""Model zoo: architecture registry, per-quality configs, constructors.
+
+Mirrors the reference registry (compressai/zoo/image.py:189-246,
+compressai/zoo/__init__.py:41-56). `create_model` builds the flax module,
+initializes variables, and returns the host codec wrapper ready for
+training or (after `update()`) coding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from lmic_tpu.models.codec import (
+    CompressionCodec,
+    FactorizedPriorCodec,
+    HyperpriorCodec,
+)
+from lmic_tpu.models.image import (
+    FactorizedPrior,
+    MeanScaleHyperprior,
+    ScaleHyperprior,
+)
+
+# quality -> ctor args (reference zoo/image.py:189-246)
+cfgs: Dict[str, Dict[int, Tuple[int, ...]]] = {
+    "bmshj2018-factorized": {
+        **{q: (128, 192) for q in range(1, 6)},
+        **{q: (192, 320) for q in range(6, 9)},
+    },
+    "bmshj2018-hyperprior": {
+        **{q: (128, 192) for q in range(1, 6)},
+        **{q: (192, 320) for q in range(6, 9)},
+    },
+    "mbt2018-mean": {
+        **{q: (128, 192) for q in range(1, 5)},
+        **{q: (192, 320) for q in range(5, 9)},
+    },
+    "mbt2018": {
+        **{q: (192, 192) for q in range(1, 5)},
+        **{q: (192, 320) for q in range(5, 9)},
+    },
+    "cheng2020-anchor": {
+        **{q: (128,) for q in range(1, 4)},
+        **{q: (192,) for q in range(4, 7)},
+    },
+    "cheng2020-attn": {
+        **{q: (128,) for q in range(1, 4)},
+        **{q: (192,) for q in range(4, 7)},
+    },
+}
+
+# architecture -> (module class, codec wrapper class)
+model_architectures: Dict[str, Tuple[Any, Any]] = {
+    "bmshj2018-factorized": (FactorizedPrior, FactorizedPriorCodec),
+    "bmshj2018-hyperprior": (ScaleHyperprior, HyperpriorCodec),
+    "mbt2018-mean": (MeanScaleHyperprior, HyperpriorCodec),
+}
+
+
+def register_architecture(name, module_cls, codec_cls):
+    model_architectures[name] = (module_cls, codec_cls)
+
+
+def make_module(architecture: str, quality: int, channel: int = 3, **kwargs):
+    """Build the (uninitialized) flax module for an architecture/quality."""
+    if architecture not in model_architectures:
+        raise ValueError(f'Invalid architecture name "{architecture}"')
+    if quality not in cfgs[architecture]:
+        raise ValueError(f'Invalid quality value "{quality}"')
+    args = cfgs[architecture][quality]
+    module_cls, _ = model_architectures[architecture]
+    if len(args) == 2:
+        return module_cls(N=args[0], M=args[1], channel=channel, **kwargs)
+    return module_cls(N=args[0], channel=channel, **kwargs)
+
+
+def create_model(
+    architecture: str,
+    quality: int,
+    key=None,
+    channel: int = 3,
+    input_size: Tuple[int, int] = (256, 256),
+    variables=None,
+    **kwargs,
+) -> CompressionCodec:
+    """Construct module + variables and wrap in the codec class."""
+    module = make_module(architecture, quality, channel=channel, **kwargs)
+    _, codec_cls = model_architectures[architecture]
+    if variables is None:
+        if key is None:
+            key = jax.random.key(0)
+        x = jnp.zeros((1, *input_size, channel), jnp.float32)
+        variables = module.init(
+            {"params": key, "noise": jax.random.fold_in(key, 1)}, x
+        )
+    return codec_cls(module, variables)
+
+
+def image_models():
+    return dict(model_architectures)
+
+
+# populated as families land (mbt2018, cheng2020*, ssf2020, RGBT pair)
+def available_models():
+    return sorted(model_architectures)

@@ -1,0 +1,113 @@
+"""Model integration tests (modeled on the reference tests/test_models.py +
+test_codec.py): forward shapes, compress/decompress roundtrip consistency,
+and the forward-vs-codec bpp agreement that pins the entropy-coded size to
+the likelihood estimate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmic_tpu import zoo
+
+
+def _make(arch, N=32, M=48, channel=3, size=(64, 64)):
+    """Small-width model for test speed (zoo sizes are too slow on CPU)."""
+    module_cls, codec_cls = zoo.model_architectures[arch]
+    module = module_cls(N=N, M=M, channel=channel)
+    key = jax.random.key(0)
+    x = jnp.zeros((1, *size, channel))
+    variables = module.init(
+        {"params": key, "noise": jax.random.fold_in(key, 1)}, x
+    )
+    return codec_cls(module, variables)
+
+
+ARCHS = ["bmshj2018-factorized", "bmshj2018-hyperprior", "mbt2018-mean"]
+
+
+@pytest.mark.parametrize("arch", ARCHS)
+class TestForward:
+    def test_forward_shapes_and_likelihoods(self, arch):
+        codec = _make(arch)
+        x = jax.random.uniform(jax.random.key(2), (2, 64, 64, 3))
+        out = codec(x, training=True, key=jax.random.key(3))
+        assert out["x_hat"].shape == x.shape
+        for lik in out["likelihoods"].values():
+            a = np.asarray(lik)
+            assert np.all(a > 0) and np.all(a <= 1)
+
+    def test_eval_forward_deterministic(self, arch):
+        codec = _make(arch)
+        x = jax.random.uniform(jax.random.key(2), (1, 64, 64, 3))
+        o1 = codec(x, training=False)
+        o2 = codec(x, training=False)
+        np.testing.assert_array_equal(
+            np.asarray(o1["x_hat"]), np.asarray(o2["x_hat"])
+        )
+
+    def test_aux_loss_finite(self, arch):
+        codec = _make(arch)
+        assert np.isfinite(float(codec.aux_loss()))
+
+
+@pytest.mark.parametrize("arch", ARCHS)
+class TestCodecRoundtrip:
+    def test_compress_decompress(self, arch):
+        codec = _make(arch)
+        codec.update(force=True)
+        x = jax.random.uniform(jax.random.key(4), (2, 64, 64, 3))
+        out = codec.compress(np.asarray(x))
+        assert "strings" in out and "shape" in out
+        rec = codec.decompress(out["strings"], out["shape"])
+        x_hat = rec["x_hat"]
+        assert x_hat.shape == x.shape
+        assert np.all(x_hat >= 0) and np.all(x_hat <= 1)
+        # codec reconstruction must match the eval-mode forward reconstruction
+        fwd = codec(x, training=False)
+        np.testing.assert_allclose(
+            x_hat,
+            np.clip(np.asarray(fwd["x_hat"]), 0, 1),
+            atol=1e-3,
+        )
+
+    def test_coded_size_close_to_likelihood_estimate(self, arch):
+        # real bitstream length should be within ~10% + overhead of the
+        # entropy estimate from the eval forward
+        codec = _make(arch)
+        codec.update(force=True)
+        x = jax.random.uniform(jax.random.key(5), (1, 64, 64, 3))
+        fwd = codec(x, training=False)
+        est_bits = sum(
+            float(-jnp.sum(jnp.log2(lik)))
+            for lik in fwd["likelihoods"].values()
+        )
+        out = codec.compress(np.asarray(x))
+        real_bits = sum(
+            len(s) * 8 for group in out["strings"] for s in group
+        )
+        assert real_bits < est_bits * 1.15 + 1500
+        assert real_bits > est_bits * 0.5
+
+
+class TestZoo:
+    def test_cfg_tables(self):
+        assert zoo.cfgs["bmshj2018-factorized"][1] == (128, 192)
+        assert zoo.cfgs["bmshj2018-factorized"][8] == (192, 320)
+        assert zoo.cfgs["mbt2018-mean"][5] == (192, 320)
+        assert zoo.cfgs["mbt2018"][1] == (192, 192)
+        assert zoo.cfgs["cheng2020-anchor"][4] == (192,)
+
+    def test_invalid_arch_raises(self):
+        with pytest.raises(ValueError):
+            zoo.make_module("nope", 1)
+        with pytest.raises(ValueError):
+            zoo.make_module("bmshj2018-factorized", 99)
+
+    def test_create_model_smoke(self):
+        codec = zoo.create_model(
+            "bmshj2018-factorized", quality=1, input_size=(64, 64)
+        )
+        x = jnp.zeros((1, 64, 64, 3))
+        out = codec(x, training=False)
+        assert out["x_hat"].shape == x.shape

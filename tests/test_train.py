@@ -1,0 +1,127 @@
+"""Training tests: RD loss semantics, dual-optimizer grouping, loss decrease
+over a few steps, and the data-parallel sharded step on the 8-device CPU
+mesh (the multi-chip path the driver dry-runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmic_tpu import parallel
+from lmic_tpu.models.image import FactorizedPrior
+from lmic_tpu.utils.train import (
+    LAMBDA_TABLE,
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+    rate_distortion_loss,
+    step_lr,
+)
+
+
+def _tiny_model():
+    module = FactorizedPrior(N=16, M=24)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = module.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+    )
+    return module, variables["params"]
+
+
+class TestLoss:
+    def test_rd_loss_components(self):
+        # perfect reconstruction, uniform likelihood 0.5 -> bpp = latent bits
+        x = jnp.ones((2, 8, 8, 3)) * 0.5
+        out = {
+            "x_hat": x,
+            "likelihoods": {"y": jnp.full((2, 4, 4, 8), 0.5)},
+        }
+        rd = rate_distortion_loss(out, x, lmbda=256)
+        assert float(rd["mse_loss"]) == 0.0
+        # 2*4*4*8 symbols, 1 bit each / (2*8*8) pixels = 2.0 bpp
+        np.testing.assert_allclose(float(rd["bpp_loss"]), 2.0, rtol=1e-6)
+        np.testing.assert_allclose(float(rd["loss"]), 2.0, rtol=1e-6)
+
+    def test_lambda_table(self):
+        assert LAMBDA_TABLE == (256, 512, 1024, 2048, 4096, 8192, 10240)
+
+    def test_step_lr(self):
+        sched = step_lr(1e-4, steps_per_epoch=10, step_size=40, gamma=0.5)
+        assert sched(0) == 1e-4
+        assert sched(399) == 1e-4
+        np.testing.assert_allclose(sched(400), 5e-5)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        module, params = _tiny_model()
+        opt = make_optimizer(learning_rate=1e-3)
+        state = create_train_state(params, opt)
+        step = make_train_step(module, opt, lmbda=1024)
+        batch = jax.random.uniform(jax.random.key(2), (4, 32, 32, 3))
+        key = jax.random.key(3)
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state, batch, key)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 12
+
+    def test_quantiles_only_updated_by_aux(self):
+        module, params = _tiny_model()
+        opt = make_optimizer(learning_rate=0.0, aux_learning_rate=1e-2)
+        state = create_train_state(params, opt)
+        step = make_train_step(module, opt, lmbda=1024)
+        batch = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3))
+        new_state, _ = step(state, batch, jax.random.key(0))
+        q0 = params["entropy_bottleneck"]["quantiles"]
+        q1 = new_state.params["entropy_bottleneck"]["quantiles"]
+        # aux lr nonzero -> quantiles moved
+        assert np.abs(np.asarray(q1 - q0)).max() > 0
+        # main lr zero -> transforms unchanged
+        k0 = params["g_a_net"]["layers_0"]["Conv_0"]["kernel"]
+        k1 = new_state.params["g_a_net"]["layers_0"]["Conv_0"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+
+    def test_eval_step(self):
+        module, params = _tiny_model()
+        es = make_eval_step(module, lmbda=1024)
+        batch = jax.random.uniform(jax.random.key(2), (2, 32, 32, 3))
+        m = es(params, batch)
+        assert np.isfinite(float(m["psnr"]))
+
+
+class TestDataParallel:
+    def test_sharded_train_step_8_devices(self):
+        assert jax.device_count() >= 8, "conftest should give 8 cpu devices"
+        mesh = parallel.make_mesh(8)
+        module, params = _tiny_model()
+        opt = make_optimizer()
+        state = create_train_state(params, opt)
+        state = parallel.replicate(mesh, state)
+        step = make_train_step(module, opt, lmbda=1024)
+        batch = parallel.shard_batch(
+            mesh, jax.random.uniform(jax.random.key(2), (16, 32, 32, 3))
+        )
+        new_state, metrics = step(state, batch, jax.random.key(0))
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated; batch-sharded grads were psum'd by XLA
+        kernel = new_state.params["g_a_net"]["layers_0"]["Conv_0"]["kernel"]
+        assert kernel.sharding.is_fully_replicated
+
+    def test_sharded_matches_single_device(self):
+        mesh = parallel.make_mesh(8)
+        module, params = _tiny_model()
+        opt = make_optimizer()
+        step = make_train_step(module, opt, lmbda=1024)
+        batch = jax.random.uniform(jax.random.key(2), (8, 32, 32, 3))
+
+        s_single = create_train_state(params, opt)
+        _, m_single = step(s_single, batch, jax.random.key(0))
+
+        s_shard = parallel.replicate(mesh, create_train_state(params, opt))
+        _, m_shard = step(s_shard, parallel.shard_batch(mesh, batch),
+                          jax.random.key(0))
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-5
+        )
