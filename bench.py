@@ -1,0 +1,63 @@
+"""End-to-end codec throughput benchmark (run by the driver on real TPU).
+
+Measures full encode+decode — device transforms AND host rANS coding — in
+megapixels/second on Kodak-sized (768x512) images, bmshj2018-factorized q1
+geometry (N=128, M=192), and prints one JSON line.
+
+Baseline: the CPU reference codes a 0.393 MP Kodak image in ~0.62 s encode +
+~0.83 s decode at q1 (BASELINE.md) => 0.27 MP/s enc+dec. vs_baseline is the
+speedup over that number; the north-star is >= 10x.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MP_S = 0.27  # CPU reference, factorized q1, enc+dec combined
+
+
+def main():
+    from lmic_tpu import zoo
+
+    H, W, B = 768, 512, 8
+    codec = zoo.create_model(
+        "bmshj2018-factorized", quality=1, key=jax.random.key(0),
+        input_size=(H, W),
+    )
+    codec.update(force=True)
+
+    rng = np.random.default_rng(0)
+    x = rng.random((B, H, W, 3), dtype=np.float32)
+
+    # warmup (compile)
+    out = codec.compress(x)
+    rec = codec.decompress(out["strings"], out["shape"])
+    assert rec["x_hat"].shape == x.shape
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = codec.compress(x)
+        rec = codec.decompress(out["strings"], out["shape"])
+    jax.block_until_ready(0)
+    dt = time.perf_counter() - t0
+
+    megapixels = B * H * W / 1e6 * iters
+    mp_s = megapixels / dt
+    print(
+        json.dumps(
+            {
+                "metric": "factorized_q1_encdec_throughput",
+                "value": round(mp_s, 3),
+                "unit": "MP/s",
+                "vs_baseline": round(mp_s / BASELINE_MP_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,386 @@
+"""Joint autoregressive + hierarchical priors (mbt2018) — TPU-native.
+
+Reference: compressai/models/google.py:421-692. The reference's codec path
+is a per-pixel Python loop crossing into C++ once per pixel (google.py:
+565-608 encode, 654-692 decode) — the slowest part of the whole system
+(5-19 s/image on CPU). Here the serial dependency is re-expressed as a
+**wavefront scan**: with a 5x5 type-A causal mask, every latent pixel (h, w)
+depends only on pixels with 3h' + w' < 3h + w, so the anti-diagonal family
+t = 3h + w is processed in parallel — one `lax.scan` step per wavefront
+(3H + W - 3 steps total instead of H*W), all context convs / entropy MLPs /
+scale bucketing on device. The entropy coder sees one batched host call per
+image on encode, and one `io_callback` per wavefront on decode.
+
+Bitstream symbol order (this framework's format): wavefront-major
+(t ascending), row-major (h ascending) within a wavefront, channel-minor —
+NOT the reference's raster order. Everything else (CDF tables, rANS format)
+matches the reference spec.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import io_callback
+
+from lmic_tpu.entropy import coder as rans
+from lmic_tpu.entropy.entropy_models import (
+    EntropyBottleneck,
+    GaussianConditional,
+    get_scale_table,
+    quantize_dequantize,
+)
+from lmic_tpu.layers import GDN, Conv, Deconv, MaskedConv2d, make_causal_mask
+from lmic_tpu.models.codec import CompressionCodec
+from lmic_tpu.models.image import MeanScaleHyperprior
+
+KERNEL = 5
+PAD = (KERNEL - 1) // 2
+
+
+class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
+    """mbt2018: hyperprior + masked-conv context model + entropy-params MLP."""
+
+    def _make_h_a(self):
+        return nn.Sequential([
+            Conv(self.N, kernel_size=3, stride=1),
+            lambda x: nn.leaky_relu(x, 0.01),
+            Conv(self.N, kernel_size=5, stride=2),
+            lambda x: nn.leaky_relu(x, 0.01),
+            Conv(self.N, kernel_size=5, stride=2),
+        ])
+
+    def _make_h_s(self):
+        return nn.Sequential([
+            Deconv(self.M, kernel_size=5, stride=2),
+            lambda x: nn.leaky_relu(x, 0.01),
+            Deconv(self.M * 3 // 2, kernel_size=5, stride=2),
+            lambda x: nn.leaky_relu(x, 0.01),
+            Conv(self.M * 2, kernel_size=3, stride=1),
+        ])
+
+    def setup(self):
+        super().setup()
+        M = self.M
+        self.entropy_parameters_net = nn.Sequential([
+            Conv(M * 10 // 3, kernel_size=1, stride=1),
+            lambda x: nn.leaky_relu(x, 0.01),
+            Conv(M * 8 // 3, kernel_size=1, stride=1),
+            lambda x: nn.leaky_relu(x, 0.01),
+            Conv(M * 6 // 3, kernel_size=1, stride=1),
+        ])
+        self.context_prediction = MaskedConv2d(
+            2 * M, kernel_size=KERNEL, mask_type="A"
+        )
+
+    @property
+    def downsampling_factor(self) -> int:
+        return 2**6
+
+    def hyper_to_params(self, z_hat):
+        """z_hat -> hyper params at y resolution (NOT yet split: the split
+        happens after fusing with the context features)."""
+        return self.h_s_net(z_hat)
+
+    def entropy_parameters(self, x):
+        return self.entropy_parameters_net(x)
+
+    def param_fuse(self, hyper_p, ctx_p):
+        """(.., 2M) hyper + (.., 2M) context -> (scales, means)."""
+        gaussian_params = self.entropy_parameters_net(
+            jnp.concatenate([hyper_p, ctx_p], axis=-1)
+        )
+        scales, means = jnp.split(gaussian_params, 2, axis=-1)
+        return scales, means
+
+    def __call__(self, x, training: bool = True):
+        y = self.g_a_net(x)
+        z = self.h_a_net(y)
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
+        params = self.h_s_net(z_hat)
+
+        # context input y_hat is quantized WITHOUT means
+        # (reference google.py:500-502)
+        if training:
+            key = self.make_rng("noise")
+            y_hat = y + jax.random.uniform(key, y.shape, y.dtype, -0.5, 0.5)
+        else:
+            y_hat = jnp.round(y)
+        ctx_params = self.context_prediction(y_hat)
+        scales_hat, means_hat = self.param_fuse(params, ctx_params)
+
+        key = self.make_rng("noise") if training else None
+        _, y_likelihoods = self.gaussian_conditional(
+            y, scales_hat, means=means_hat, training=training, key=key
+        )
+        x_hat = self.g_s_net(y_hat)
+        return {
+            "x_hat": x_hat,
+            "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
+        }
+
+
+def _wavefront_positions(H: int, W: int):
+    """Static wavefront schedule: step t covers pixels (h, t - 3h)."""
+    return 3 * (H - 1) + (W - 1) + 1  # number of steps
+
+
+def make_wavefront_step(module, variables, H: int, W: int, scale_table):
+    """Build the shared per-wavefront computation.
+
+    Given the padded y_hat buffer and hyper params, computes for every row h
+    (pixel (h, w=t-3h), masked to the valid range): context features, fused
+    (scales, means), and scale-table indexes. Used identically by the encode
+    and decode scans so entropy parameters are bit-identical on both sides.
+    """
+    M = module.M
+    cls = type(module)
+    gc = GaussianConditional()
+    mask = make_causal_mask(KERNEL, KERNEL, "A")
+    ctx_kernel = variables["params"]["context_prediction"]["kernel"]
+    ctx_kernel = ctx_kernel * mask[:, :, None, None]  # (5,5,M,2M)
+    ctx_bias = variables["params"]["context_prediction"]["bias"]
+    table = jnp.asarray(scale_table)
+
+    h_vec = jnp.arange(H)
+
+    def step(t, y_hat_pad, params):
+        """y_hat_pad: (H+4, W+4, M); params: (H, W, 2M).
+        Returns (w, valid, scales, means, indexes) with leading dim H."""
+        w_vec = t - 3 * h_vec
+        valid = (w_vec >= 0) & (w_vec < W)
+        w_safe = jnp.clip(w_vec, 0, W - 1)
+
+        def crop(h, w):
+            return jax.lax.dynamic_slice(
+                y_hat_pad, (h, w, 0), (KERNEL, KERNEL, M)
+            )
+
+        crops = jax.vmap(crop)(h_vec, w_safe)  # (H, 5, 5, M)
+        ctx = (
+            jnp.einsum(
+                "hijm,ijmn->hn", crops, ctx_kernel,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + ctx_bias
+        )  # (H, 2M)
+        hyper_p = params[h_vec, w_safe]  # (H, 2M)
+        fused = module.apply(
+            variables,
+            jnp.concatenate([hyper_p, ctx], axis=-1)[None, :, None, :],
+            method=cls.entropy_parameters,
+        )[0, :, 0, :]
+        scales, means = jnp.split(fused, 2, axis=-1)  # (H, M) each
+        indexes = gc.build_indexes(table, scales)  # (H, M) int32
+        return w_safe, valid, scales, means, indexes
+
+    return step
+
+
+class JointARCodec(CompressionCodec):
+    """Codec wrapper for mbt2018 (and subclasses sharing its entropy path)."""
+
+    def __init__(self, module, variables):
+        super().__init__(module, variables)
+        cls = type(module)
+        self._analyze = jax.jit(
+            lambda x: module.apply(variables, x, method=cls.analyze)
+        )
+        self._hyper_params = jax.jit(
+            lambda z_hat: module.apply(
+                variables, z_hat, method=cls.hyper_to_params
+            )
+        )
+        self._g_s = jax.jit(
+            lambda y_hat: jnp.clip(
+                module.apply(variables, y_hat, method=cls.g_s), 0.0, 1.0
+            )
+        )
+        self._encode_scan_cache = {}
+
+    # -- state -----------------------------------------------------------------
+    def update(self, force: bool = False, scale_table=None):
+        if (
+            self.eb_state is not None
+            and self.gc_state is not None
+            and not force
+        ):
+            return False
+        from lmic_tpu.entropy.entropy_models import EntropyBottleneck, eb_update
+
+        eb = EntropyBottleneck(channels=self.module.N)
+        self.eb_state = eb_update(
+            eb, {"params": self.variables["params"]["entropy_bottleneck"]}
+        )
+        if scale_table is None:
+            scale_table = get_scale_table()
+        self.gc_state = GaussianConditional().update(scale_table)
+        return True
+
+    def _check_updated(self):
+        if self.eb_state is None or self.gc_state is None:
+            raise RuntimeError("Uninitialized CDFs. Run update() first")
+
+    # -- encode ------------------------------------------------------------
+    def _get_encode_scan(self, H: int, W: int):
+        key = (H, W)
+        if key in self._encode_scan_cache:
+            return self._encode_scan_cache[key]
+
+        module, variables = self.module, self.variables
+        M = module.M
+        T = _wavefront_positions(H, W)
+        step_fn = make_wavefront_step(
+            module, variables, H, W, self.gc_state.scale_table
+        )
+
+        def body(carry, t):
+            y_hat_pad = carry["y_hat"]
+            w_safe, valid, scales, means, indexes = step_fn(
+                t, y_hat_pad, carry["params"]
+            )
+            y_rows = carry["y"][jnp.arange(H), w_safe]  # (H, M)
+            symbols = jnp.round(y_rows - means).astype(jnp.int32)
+            y_vals = symbols.astype(jnp.float32) + means
+
+            def one(i, b):
+                cur = jax.lax.dynamic_slice(
+                    b, (i + PAD, w_safe[i] + PAD, 0), (1, 1, M)
+                )
+                new = jnp.where(valid[i], y_vals[i].reshape(1, 1, M), cur)
+                return jax.lax.dynamic_update_slice(
+                    b, new, (i + PAD, w_safe[i] + PAD, 0)
+                )
+
+            y_hat_pad = jax.lax.fori_loop(0, H, one, y_hat_pad)
+            carry["y_hat"] = y_hat_pad
+            return carry, (symbols, indexes, valid)
+
+        def run(y, params):
+            """y: (H, W, M); params: (H, W, 2M) -> stacked per-step outputs."""
+            carry = {
+                "y_hat": jnp.zeros((H + 2 * PAD, W + 2 * PAD, M), jnp.float32),
+                "y": y,
+                "params": params,
+            }
+            carry, outs = jax.lax.scan(body, carry, jnp.arange(T))
+            symbols, indexes, valid = outs  # (T, H, M), (T, H, M), (T, H)
+            return symbols, indexes, valid, carry["y_hat"]
+
+        fn = jax.jit(run)
+        self._encode_scan_cache[key] = fn
+        return fn
+
+    def compress(self, x):
+        self._check_updated()
+        y, z = jax.device_get(self._analyze(jnp.asarray(x)))
+        z_strings = self.eb_state.compress(z)
+        C = z.shape[-1]
+        medians = self.eb_state.medians.reshape((1, 1, 1, C))
+        z_hat = np.round(z - medians) + medians
+        params = np.asarray(self._hyper_params(jnp.asarray(z_hat)))
+
+        B, H, W, M = y.shape
+        scan = self._get_encode_scan(H, W)
+        y_strings = []
+        for i in range(B):
+            symbols, indexes, valid, _ = jax.device_get(
+                scan(jnp.asarray(y[i]), jnp.asarray(params[i]))
+            )
+            sel = valid.reshape(-1)  # (T*H,)
+            sym_flat = symbols.reshape(-1, M)[sel].reshape(-1)
+            idx_flat = indexes.reshape(-1, M)[sel].reshape(-1)
+            y_strings.append(
+                rans.encode_with_indexes(sym_flat, idx_flat, self.gc_state.table)
+            )
+        return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+
+    # -- decode ------------------------------------------------------------
+    def _get_decode_scan(self, H: int, W: int):
+        key = ("dec", H, W)
+        if key in self._encode_scan_cache:
+            return self._encode_scan_cache[key]
+
+        module, variables = self.module, self.variables
+        M = module.M
+        T = _wavefront_positions(H, W)
+        step_fn = make_wavefront_step(
+            module, variables, H, W, self.gc_state.scale_table
+        )
+        decoder_box = {"dec": None}
+
+        def host_decode(indexes, valid):
+            indexes = np.asarray(indexes)
+            valid = np.asarray(valid)
+            out = np.zeros((H, M), np.int32)
+            if valid.any():
+                flat = indexes[valid].reshape(-1)
+                vals = decoder_box["dec"].decode_stream(
+                    flat, self.gc_state.table
+                )
+                out[valid] = vals.reshape(-1, M)
+            return out
+
+        def body(carry, t):
+            y_hat_pad = carry["y_hat"]
+            w_safe, valid, scales, means, indexes = step_fn(
+                t, y_hat_pad, carry["params"]
+            )
+            symbols = io_callback(
+                host_decode,
+                jax.ShapeDtypeStruct((H, M), jnp.int32),
+                indexes,
+                valid,
+                ordered=True,
+            )
+            y_vals = symbols.astype(jnp.float32) + means
+
+            def one(i, b):
+                cur = jax.lax.dynamic_slice(
+                    b, (i + PAD, w_safe[i] + PAD, 0), (1, 1, M)
+                )
+                new = jnp.where(valid[i], y_vals[i].reshape(1, 1, M), cur)
+                return jax.lax.dynamic_update_slice(
+                    b, new, (i + PAD, w_safe[i] + PAD, 0)
+                )
+
+            y_hat_pad = jax.lax.fori_loop(0, H, one, y_hat_pad)
+            carry["y_hat"] = y_hat_pad
+            return carry, None
+
+        def run(params):
+            carry = {
+                "y_hat": jnp.zeros((H + 2 * PAD, W + 2 * PAD, M), jnp.float32),
+                "params": params,
+            }
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(T))
+            return carry["y_hat"][PAD : PAD + H, PAD : PAD + W]
+
+        fn = jax.jit(run)
+        wrapped = (fn, decoder_box)
+        self._encode_scan_cache[key] = wrapped
+        return wrapped
+
+    def decompress(self, strings, shape):
+        self._check_updated()
+        assert isinstance(strings, list) and len(strings) == 2
+        y_strings, z_strings = strings[0], strings[1]
+        z_hat = self.eb_state.decompress(z_strings, tuple(shape))
+        params = np.asarray(self._hyper_params(jnp.asarray(z_hat)))
+        H, W = shape[0] * 4, shape[1] * 4
+        scan, decoder_box = self._get_decode_scan(H, W)
+        y_hats = []
+        for i, s in enumerate(y_strings):
+            dec = rans.RansDecoder()
+            dec.set_stream(s)
+            decoder_box["dec"] = dec
+            y_hat = np.asarray(scan(jnp.asarray(params[i])))
+            y_hats.append(y_hat)
+        y_hat = jnp.asarray(np.stack(y_hats))
+        x_hat = np.asarray(self._g_s(y_hat))
+        return {"x_hat": x_hat}

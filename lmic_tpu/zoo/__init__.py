@@ -23,6 +23,10 @@ from lmic_tpu.models.image import (
     MeanScaleHyperprior,
     ScaleHyperprior,
 )
+from lmic_tpu.models.joint import (
+    JointARCodec,
+    JointAutoregressiveHierarchicalPriors,
+)
 
 # quality -> ctor args (reference zoo/image.py:189-246)
 cfgs: Dict[str, Dict[int, Tuple[int, ...]]] = {
@@ -57,6 +61,7 @@ model_architectures: Dict[str, Tuple[Any, Any]] = {
     "bmshj2018-factorized": (FactorizedPrior, FactorizedPriorCodec),
     "bmshj2018-hyperprior": (ScaleHyperprior, HyperpriorCodec),
     "mbt2018-mean": (MeanScaleHyperprior, HyperpriorCodec),
+    "mbt2018": (JointAutoregressiveHierarchicalPriors, JointARCodec),
 }
 
 
