@@ -84,22 +84,28 @@ class ScaleHyperprior(nn.Module):
     channel: int = 3
 
     def setup(self):
-        self.g_a_net = nn.Sequential([
+        self.g_a_net = self._make_g_a()
+        self.g_s_net = self._make_g_s()
+        self.h_a_net = self._make_h_a()
+        self.h_s_net = self._make_h_s()
+        self.entropy_bottleneck = EntropyBottleneck(channels=self.N)
+        self.gaussian_conditional = GaussianConditional()
+
+    def _make_g_a(self):
+        return nn.Sequential([
             Conv(self.N), GDN(),
             Conv(self.N), GDN(),
             Conv(self.N), GDN(),
             Conv(self.M),
         ])
-        self.g_s_net = nn.Sequential([
+
+    def _make_g_s(self):
+        return nn.Sequential([
             Deconv(self.N), GDN(inverse=True),
             Deconv(self.N), GDN(inverse=True),
             Deconv(self.N), GDN(inverse=True),
             Deconv(self.channel),
         ])
-        self.h_a_net = self._make_h_a()
-        self.h_s_net = self._make_h_s()
-        self.entropy_bottleneck = EntropyBottleneck(channels=self.N)
-        self.gaussian_conditional = GaussianConditional()
 
     def _make_h_a(self):
         return nn.Sequential([

@@ -27,6 +27,7 @@ from lmic_tpu.models.joint import (
     JointARCodec,
     JointAutoregressiveHierarchicalPriors,
 )
+from lmic_tpu.models.cheng import Cheng2020Anchor, Cheng2020Attention
 
 # quality -> ctor args (reference zoo/image.py:189-246)
 cfgs: Dict[str, Dict[int, Tuple[int, ...]]] = {
@@ -62,6 +63,8 @@ model_architectures: Dict[str, Tuple[Any, Any]] = {
     "bmshj2018-hyperprior": (ScaleHyperprior, HyperpriorCodec),
     "mbt2018-mean": (MeanScaleHyperprior, HyperpriorCodec),
     "mbt2018": (JointAutoregressiveHierarchicalPriors, JointARCodec),
+    "cheng2020-anchor": (Cheng2020Anchor, JointARCodec),
+    "cheng2020-attn": (Cheng2020Attention, JointARCodec),
 }
 
 
@@ -79,7 +82,8 @@ def make_module(architecture: str, quality: int, channel: int = 3, **kwargs):
     module_cls, _ = model_architectures[architecture]
     if len(args) == 2:
         return module_cls(N=args[0], M=args[1], channel=channel, **kwargs)
-    return module_cls(N=args[0], channel=channel, **kwargs)
+    # single-arg families (cheng2020*) use M = N (waseda.py:63)
+    return module_cls(N=args[0], M=args[0], channel=channel, **kwargs)
 
 
 def create_model(
