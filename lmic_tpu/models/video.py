@@ -1,0 +1,435 @@
+"""ScaleSpaceFlow (ssf2020) video codec.
+
+Reference: compressai/models/video/google.py:55-508. Three hyperprior
+sub-codecs (I-frame, motion, residual) around conv encoder/decoder stacks;
+inter frames warp the previous reconstruction through a gaussian scale-space
+volume driven by a decoded (flow, scale) field, then add a decoded residual.
+
+TPU design: each sub-codec's device math is plain jitted NHWC convs; the
+frame loop is host-side Python for coding (frames are sequentially dependent
+through x_ref, like the reference), while the training forward unrolls a
+static number of frames inside one jit. The trilinear warp is the
+vectorized gather kernel in lmic_tpu.ops.video.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmic_tpu.entropy import coder as rans
+from lmic_tpu.entropy.entropy_models import (
+    EntropyBottleneck,
+    GaussianConditional,
+    eb_update,
+    get_scale_table,
+)
+from lmic_tpu.layers import Conv, Deconv, qrelu
+from lmic_tpu.models.codec import CompressionCodec
+from lmic_tpu.ops import quantize_ste
+from lmic_tpu.ops.video import scale_space_warp
+
+
+class Encoder(nn.Module):
+    """4x (conv5 s2 + relu) (reference video/google.py:75-88)."""
+
+    mid_planes: int = 128
+    out_planes: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(Conv(self.mid_planes)(x))
+        x = nn.relu(Conv(self.mid_planes)(x))
+        x = nn.relu(Conv(self.mid_planes)(x))
+        return Conv(self.out_planes)(x)
+
+
+class Decoder(nn.Module):
+    """4x (deconv5 s2 + relu) (reference video/google.py:90-103)."""
+
+    out_planes: int
+    mid_planes: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(Deconv(self.mid_planes)(x))
+        x = nn.relu(Deconv(self.mid_planes)(x))
+        x = nn.relu(Deconv(self.mid_planes)(x))
+        return Deconv(self.out_planes)(x)
+
+
+class HyperEncoder(nn.Module):
+    planes: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(Conv(self.planes)(x))
+        x = nn.relu(Conv(self.planes)(x))
+        return Conv(self.planes)(x)
+
+
+class HyperDecoder(nn.Module):
+    planes: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(Deconv(self.planes)(x))
+        x = nn.relu(Deconv(self.planes)(x))
+        return Deconv(self.planes)(x)
+
+
+class HyperDecoderWithQReLU(nn.Module):
+    """Scale branch uses QReLU clamping (reference video/google.py:128-150)."""
+
+    planes: int = 192
+
+    @nn.compact
+    def __call__(self, x):
+        x = qrelu(Deconv(self.planes)(x))
+        x = qrelu(Deconv(self.planes)(x))
+        return qrelu(Deconv(self.planes)(x))
+
+
+class Hyperprior(nn.Module):
+    """One hyperprior sub-codec: EB on z, Gaussian conditional on y with
+    mean/scale hyper-decoders; STE-quantized y_hat
+    (reference video/google.py:152-196)."""
+
+    planes: int = 192
+    mid_planes: int = 192
+
+    def setup(self):
+        self.hyper_encoder = HyperEncoder(self.planes)
+        self.hyper_decoder_mean = HyperDecoder(self.planes)
+        self.hyper_decoder_scale = HyperDecoderWithQReLU(self.planes)
+        self.entropy_bottleneck = EntropyBottleneck(channels=self.mid_planes)
+        self.gaussian_conditional = GaussianConditional()
+
+    def __call__(self, y, training: bool = True):
+        z = self.hyper_encoder(y)
+        z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
+        scales = self.hyper_decoder_scale(z_hat)
+        means = self.hyper_decoder_mean(z_hat)
+        key = self.make_rng("noise") if training else None
+        _, y_likelihoods = self.gaussian_conditional(
+            y, scales, means, training=training, key=key
+        )
+        y_hat = quantize_ste(y - means) + means
+        return y_hat, {"y": y_likelihoods, "z": z_likelihoods}
+
+    # --- device halves of the coding path ---
+    def encode_z(self, y):
+        return self.hyper_encoder(y)
+
+    def params_from_z_hat(self, z_hat):
+        return self.hyper_decoder_scale(z_hat), self.hyper_decoder_mean(z_hat)
+
+    def aux_loss(self):
+        return self.entropy_bottleneck.aux_loss()
+
+
+class ScaleSpaceFlow(nn.Module):
+    """ssf2020 (reference video/google.py:55-235)."""
+
+    num_levels: int = 5
+    sigma0: float = 1.5
+    scale_field_shift: float = 1.0
+
+    def setup(self):
+        self.img_encoder = Encoder()
+        self.img_decoder = Decoder(3)
+        self.img_hyperprior = Hyperprior()
+        self.res_encoder = Encoder()
+        self.res_decoder = Decoder(3)
+        self.res_hyperprior = Hyperprior()
+        self.motion_encoder = Encoder()
+        self.motion_decoder = Decoder(3)  # 2 flow + 1 scale channels
+        self.motion_hyperprior = Hyperprior()
+
+    def forward_prediction(self, x_ref, motion_info):
+        flow, scale_field = motion_info[..., :2], motion_info[..., 2:]
+        return scale_space_warp(
+            x_ref, flow, scale_field, self.sigma0, self.num_levels
+        )
+
+    def forward_keyframe(self, x, training: bool = True):
+        y = self.img_encoder(x)
+        y_hat, likelihoods = self.img_hyperprior(y, training=training)
+        x_hat = self.img_decoder(y_hat)
+        return x_hat, {"keyframe": likelihoods}
+
+    def forward_inter(self, x_cur, x_ref, training: bool = True):
+        x = jnp.concatenate([x_cur, x_ref], axis=-1)
+        y_motion = self.motion_encoder(x)
+        y_motion_hat, motion_likelihoods = self.motion_hyperprior(
+            y_motion, training=training
+        )
+        motion_info = self.motion_decoder(y_motion_hat)
+        x_pred = self.forward_prediction(x_ref, motion_info)
+
+        x_res = x_cur - x_pred
+        y_res = self.res_encoder(x_res)
+        y_res_hat, res_likelihoods = self.res_hyperprior(
+            y_res, training=training
+        )
+        y_combine = jnp.concatenate([y_res_hat, y_motion_hat], axis=-1)
+        x_res_hat = self.res_decoder(y_combine)
+        x_rec = x_pred + x_res_hat
+        return x_rec, {"motion": motion_likelihoods, "residual": res_likelihoods}
+
+    def __call__(self, frames, training: bool = True):
+        """frames: (B, T, H, W, 3). Returns per-frame reconstructions and
+        likelihood dicts; gradients stop at each x_ref (reference :224)."""
+        T = frames.shape[1]
+        recs, likelihoods = [], []
+        x_hat, lk = self.forward_keyframe(frames[:, 0], training=training)
+        recs.append(x_hat)
+        likelihoods.append(lk)
+        x_ref = jax.lax.stop_gradient(x_hat)
+        for i in range(1, T):
+            x_ref, lk = self.forward_inter(
+                frames[:, i], x_ref, training=training
+            )
+            recs.append(x_ref)
+            likelihoods.append(lk)
+            x_ref = jax.lax.stop_gradient(x_ref)
+        return {
+            "x_hat": jnp.stack(recs, axis=1),
+            "likelihoods": likelihoods,
+        }
+
+    def aux_loss(self):
+        return (
+            self.img_hyperprior.aux_loss()
+            + self.res_hyperprior.aux_loss()
+            + self.motion_hyperprior.aux_loss()
+        )
+
+    # --- device halves used by the codec wrapper ---
+    def img_encode(self, x):
+        return self.img_encoder(x)
+
+    def img_decode(self, y_hat):
+        return self.img_decoder(y_hat)
+
+    def motion_encode(self, x_cur, x_ref):
+        return self.motion_encoder(jnp.concatenate([x_cur, x_ref], axis=-1))
+
+    def motion_decode_predict(self, y_motion_hat, x_ref):
+        motion_info = self.motion_decoder(y_motion_hat)
+        return self.forward_prediction(x_ref, motion_info)
+
+    def res_encode(self, x_res):
+        return self.res_encoder(x_res)
+
+    def res_decode(self, y_res_hat, y_motion_hat):
+        return self.res_decoder(
+            jnp.concatenate([y_res_hat, y_motion_hat], axis=-1)
+        )
+
+    def hp_encode_z(self, y, which: str):
+        hp = getattr(self, f"{which}_hyperprior")
+        return hp.encode_z(y)
+
+    def hp_params(self, z_hat, which: str):
+        hp = getattr(self, f"{which}_hyperprior")
+        return hp.params_from_z_hat(z_hat)
+
+
+class _HyperpriorState:
+    """Host coding state for one Hyperprior sub-codec."""
+
+    def __init__(self, codec, which: str):
+        self.which = which
+        module, variables = codec.module, codec.variables
+        cls = type(module)
+        eb = EntropyBottleneck(channels=192)  # Hyperprior.mid_planes
+        self.eb_state = eb_update(
+            eb,
+            {
+                "params": variables["params"][f"{which}_hyperprior"][
+                    "entropy_bottleneck"
+                ]
+            },
+        )
+        self.gc_state = GaussianConditional().update(get_scale_table())
+        self._encode_z = jax.jit(
+            lambda y: module.apply(variables, y, which, method=cls.hp_encode_z)
+        )
+        self._params = jax.jit(
+            lambda z_hat: module.apply(
+                variables, z_hat, which, method=cls.hp_params
+            )
+        )
+
+    def compress(self, y: np.ndarray):
+        """Returns (y_hat, {"strings": [y_str, z_str], "shape": zhw})."""
+        z = np.asarray(self._encode_z(jnp.asarray(y)))
+        z_strings = self.eb_state.compress(z)
+        C = z.shape[-1]
+        medians = self.eb_state.medians.reshape((1, 1, 1, C))
+        z_hat = np.round(z - medians) + medians
+        scales, means = jax.device_get(self._params(jnp.asarray(z_hat)))
+        gc = GaussianConditional()
+        indexes = np.asarray(gc.build_indexes(
+            jnp.asarray(self.gc_state.scale_table), jnp.asarray(scales)
+        ))
+        symbols = np.round(y - means).astype(np.int32)
+        y_strings = [
+            rans.encode_with_indexes(
+                symbols[i], indexes[i], self.gc_state.table
+            )
+            for i in range(symbols.shape[0])
+        ]
+        y_hat = symbols.astype(np.float32) + means
+        return y_hat, {
+            "strings": [y_strings, z_strings],
+            "shape": z.shape[1:3],
+        }
+
+    def decompress(self, strings, shape):
+        y_strings, z_strings = strings
+        z_hat = self.eb_state.decompress(z_strings, tuple(shape))
+        scales, means = jax.device_get(self._params(jnp.asarray(z_hat)))
+        gc = GaussianConditional()
+        indexes = np.asarray(gc.build_indexes(
+            jnp.asarray(self.gc_state.scale_table), jnp.asarray(scales)
+        ))
+        symbols = np.stack(
+            [
+                rans.decode_with_indexes(
+                    s, indexes[i].reshape(-1), self.gc_state.table
+                ).reshape(indexes[i].shape)
+                for i, s in enumerate(y_strings)
+            ]
+        )
+        return symbols.astype(np.float32) + means
+
+
+class ScaleSpaceFlowCodec(CompressionCodec):
+    """Host codec wrapper: frame loop, three hyperprior states."""
+
+    def __init__(self, module, variables):
+        super().__init__(module, variables)
+        cls = type(module)
+        self._img_encode = jax.jit(
+            lambda x: module.apply(variables, x, method=cls.img_encode)
+        )
+        self._img_decode = jax.jit(
+            lambda y: module.apply(variables, y, method=cls.img_decode)
+        )
+        self._motion_encode = jax.jit(
+            lambda a, b: module.apply(variables, a, b, method=cls.motion_encode)
+        )
+        self._motion_decode_predict = jax.jit(
+            lambda y, r: module.apply(
+                variables, y, r, method=cls.motion_decode_predict
+            )
+        )
+        self._res_encode = jax.jit(
+            lambda x: module.apply(variables, x, method=cls.res_encode)
+        )
+        self._res_decode = jax.jit(
+            lambda a, b: module.apply(variables, a, b, method=cls.res_decode)
+        )
+        self.hp_states: Dict[str, _HyperpriorState] = {}
+
+    def __call__(self, frames, training: bool = False, key=None):
+        rngs = {"noise": key} if training else None
+        return self.module.apply(
+            self.variables, frames, training=training, rngs=rngs
+        )
+
+    def update(self, force: bool = False):
+        if self.hp_states and not force:
+            return False
+        for which in ("img", "motion", "res"):
+            self.hp_states[which] = _HyperpriorState(self, which)
+        return True
+
+    def _check_updated(self):
+        if not self.hp_states:
+            raise RuntimeError("Uninitialized CDFs. Run update() first")
+
+    def encode_keyframe(self, x):
+        y = np.asarray(self._img_encode(jnp.asarray(x)))
+        y_hat, out = self.hp_states["img"].compress(y)
+        x_hat = np.asarray(self._img_decode(jnp.asarray(y_hat)))
+        return x_hat, out
+
+    def decode_keyframe(self, strings, shape):
+        y_hat = self.hp_states["img"].decompress(strings, shape)
+        return np.asarray(self._img_decode(jnp.asarray(y_hat)))
+
+    def encode_inter(self, x_cur, x_ref):
+        y_motion = np.asarray(
+            self._motion_encode(jnp.asarray(x_cur), jnp.asarray(x_ref))
+        )
+        y_motion_hat, out_motion = self.hp_states["motion"].compress(y_motion)
+        x_pred = np.asarray(
+            self._motion_decode_predict(
+                jnp.asarray(y_motion_hat), jnp.asarray(x_ref)
+            )
+        )
+        x_res = x_cur - x_pred
+        y_res = np.asarray(self._res_encode(jnp.asarray(x_res)))
+        y_res_hat, out_res = self.hp_states["res"].compress(y_res)
+        x_res_hat = np.asarray(
+            self._res_decode(jnp.asarray(y_res_hat), jnp.asarray(y_motion_hat))
+        )
+        x_rec = x_pred + x_res_hat
+        return x_rec, {
+            "strings": {
+                "motion": out_motion["strings"],
+                "residual": out_res["strings"],
+            },
+            "shape": {
+                "motion": out_motion["shape"],
+                "residual": out_res["shape"],
+            },
+        }
+
+    def decode_inter(self, x_ref, strings, shapes):
+        y_motion_hat = self.hp_states["motion"].decompress(
+            strings["motion"], shapes["motion"]
+        )
+        x_pred = np.asarray(
+            self._motion_decode_predict(
+                jnp.asarray(y_motion_hat), jnp.asarray(x_ref)
+            )
+        )
+        y_res_hat = self.hp_states["res"].decompress(
+            strings["residual"], shapes["residual"]
+        )
+        x_res_hat = np.asarray(
+            self._res_decode(jnp.asarray(y_res_hat), jnp.asarray(y_motion_hat))
+        )
+        return x_pred + x_res_hat
+
+    def compress(self, frames):
+        """frames: (B, T, H, W, 3) -> (frame_strings, shape_infos)."""
+        self._check_updated()
+        frames = np.asarray(frames)
+        frame_strings, shape_infos = [], []
+        x_ref, out = self.encode_keyframe(frames[:, 0])
+        frame_strings.append(out["strings"])
+        shape_infos.append(out["shape"])
+        for i in range(1, frames.shape[1]):
+            x_ref, out = self.encode_inter(frames[:, i], x_ref)
+            frame_strings.append(out["strings"])
+            shape_infos.append(out["shape"])
+        return frame_strings, shape_infos
+
+    def decompress(self, strings, shapes):
+        self._check_updated()
+        assert len(strings) == len(shapes)
+        x_ref = self.decode_keyframe(strings[0], shapes[0])
+        frames = [x_ref]
+        for i in range(1, len(strings)):
+            x_ref = self.decode_inter(x_ref, strings[i], shapes[i])
+            frames.append(x_ref)
+        return np.stack(frames, axis=1)

@@ -28,6 +28,7 @@ from lmic_tpu.models.joint import (
     JointAutoregressiveHierarchicalPriors,
 )
 from lmic_tpu.models.cheng import Cheng2020Anchor, Cheng2020Attention
+from lmic_tpu.models.video import ScaleSpaceFlow, ScaleSpaceFlowCodec
 
 # quality -> ctor args (reference zoo/image.py:189-246)
 cfgs: Dict[str, Dict[int, Tuple[int, ...]]] = {
@@ -108,8 +109,30 @@ def create_model(
     return codec_cls(module, variables)
 
 
+video_architectures = {
+    "ssf2020": (ScaleSpaceFlow, ScaleSpaceFlowCodec),
+}
+
+
+def create_video_model(architecture="ssf2020", quality: int = 1, key=None,
+                       input_size=(256, 256)):
+    module_cls, codec_cls = video_architectures[architecture]
+    module = module_cls()
+    if key is None:
+        key = jax.random.key(0)
+    frames = jnp.zeros((1, 2, *input_size, 3), jnp.float32)
+    variables = module.init(
+        {"params": key, "noise": jax.random.fold_in(key, 1)}, frames
+    )
+    return codec_cls(module, variables)
+
+
 def image_models():
     return dict(model_architectures)
+
+
+def video_models():
+    return dict(video_architectures)
 
 
 # populated as families land (mbt2018, cheng2020*, ssf2020, RGBT pair)

@@ -1,0 +1,87 @@
+"""ScaleSpaceFlow (ssf2020) tests: training forward over a GOP, aux loss,
+and the frame-chained compress/decompress roundtrip whose decoder must
+reproduce the encoder-side reconstructions bit-exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmic_tpu.models.video import ScaleSpaceFlow, ScaleSpaceFlowCodec
+
+
+@pytest.fixture(scope="module")
+def codec():
+    module = ScaleSpaceFlow()
+    frames = jnp.zeros((1, 2, 128, 128, 3))
+    v = module.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)}, frames
+    )
+    return ScaleSpaceFlowCodec(module, v)
+
+
+class TestForward:
+    def test_training_forward(self, codec):
+        frames = jax.random.uniform(jax.random.key(2), (1, 3, 128, 128, 3))
+        out = codec(frames, training=True, key=jax.random.key(3))
+        assert out["x_hat"].shape == frames.shape
+        assert len(out["likelihoods"]) == 3
+        assert "keyframe" in out["likelihoods"][0]
+        assert "motion" in out["likelihoods"][1]
+        assert "residual" in out["likelihoods"][1]
+        for frame_lk in out["likelihoods"]:
+            for group in frame_lk.values():
+                for lik in group.values():
+                    assert np.all(np.asarray(lik) > 0)
+
+    def test_aux_loss(self, codec):
+        aux = codec.aux_loss()
+        assert np.isfinite(float(aux))
+
+    def test_grads_flow(self, codec):
+        module = codec.module
+
+        def loss_fn(params, frames):
+            out = module.apply(
+                {"params": params},
+                frames,
+                training=True,
+                rngs={"noise": jax.random.key(0)},
+            )
+            return jnp.mean((out["x_hat"] - frames) ** 2)
+
+        frames = jax.random.uniform(jax.random.key(2), (1, 2, 128, 128, 3))
+        g = jax.grad(loss_fn)(codec.variables["params"], frames)
+        total = sum(
+            float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)
+        )
+        assert np.isfinite(total) and total > 0
+
+
+class TestCodecRoundtrip:
+    def test_compress_decompress_gop(self, codec):
+        codec.update(force=True)
+        frames = np.asarray(
+            jax.random.uniform(jax.random.key(4), (1, 3, 128, 128, 3))
+        )
+        strings, shapes = codec.compress(frames)
+        assert len(strings) == 3
+        rec = codec.decompress(strings, shapes)
+        assert rec.shape == frames.shape
+        assert np.all(np.isfinite(rec))
+
+    def test_decoder_matches_encoder_reconstruction(self, codec):
+        codec.update(force=True)
+        frames = np.asarray(
+            jax.random.uniform(jax.random.key(5), (1, 2, 128, 128, 3))
+        )
+        # encoder-side reconstructions
+        x_ref_enc, out_key = codec.encode_keyframe(frames[:, 0])
+        x_rec_enc, out_inter = codec.encode_inter(frames[:, 1], x_ref_enc)
+        # decoder side
+        x_ref_dec = codec.decode_keyframe(out_key["strings"], out_key["shape"])
+        np.testing.assert_array_equal(x_ref_enc, x_ref_dec)
+        x_rec_dec = codec.decode_inter(
+            x_ref_dec, out_inter["strings"], out_inter["shape"]
+        )
+        np.testing.assert_array_equal(x_rec_enc, x_rec_dec)
