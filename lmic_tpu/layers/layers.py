@@ -63,13 +63,16 @@ class Deconv(nn.Module):
     stride: int = 2
     use_bias: bool = True
     dtype: Any = None
+    padding: Optional[int] = None          # torch `padding`; default k//2
+    output_padding: Optional[int] = None   # torch `output_padding`; default s-1
 
     @nn.compact
     def __call__(self, x):
         k, s = self.kernel_size, self.stride
-        p = k // 2
+        p = self.padding if self.padding is not None else k // 2
+        op = self.output_padding if self.output_padding is not None else s - 1
         pad_lo = k - 1 - p
-        pad_hi = k - 1 - p + (s - 1)
+        pad_hi = k - 1 - p + op
         return nn.Conv(
             self.features,
             _pair(k),

@@ -276,9 +276,9 @@ class JointARCodec(CompressionCodec):
         self._encode_scan_cache[key] = fn
         return fn
 
-    def compress(self, x):
-        self._check_updated()
-        y, z = jax.device_get(self._analyze(jnp.asarray(x)))
+    def _code_y_z(self, y: np.ndarray, z: np.ndarray):
+        """Entropy-code (y, z) arrays: z via the bottleneck, y via the
+        wavefront AR scan. Shared by mbt2018/cheng2020/RGBT codecs."""
         z_strings = self.eb_state.compress(z)
         C = z.shape[-1]
         medians = self.eb_state.medians.reshape((1, 1, 1, C))
@@ -299,6 +299,11 @@ class JointARCodec(CompressionCodec):
                 rans.encode_with_indexes(sym_flat, idx_flat, self.gc_state.table)
             )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+
+    def compress(self, x):
+        self._check_updated()
+        y, z = jax.device_get(self._analyze(jnp.asarray(x)))
+        return self._code_y_z(np.asarray(y), np.asarray(z))
 
     # -- decode ------------------------------------------------------------
     def _get_decode_scan(self, H: int, W: int):
@@ -366,8 +371,8 @@ class JointARCodec(CompressionCodec):
         self._encode_scan_cache[key] = wrapped
         return wrapped
 
-    def decompress(self, strings, shape):
-        self._check_updated()
+    def _decode_y_hat(self, strings, shape) -> np.ndarray:
+        """Decode the AR latent y_hat (B, H, W, M) from the bitstreams."""
         assert isinstance(strings, list) and len(strings) == 2
         y_strings, z_strings = strings[0], strings[1]
         z_hat = self.eb_state.decompress(z_strings, tuple(shape))
@@ -381,6 +386,10 @@ class JointARCodec(CompressionCodec):
             decoder_box["dec"] = dec
             y_hat = np.asarray(scan(jnp.asarray(params[i])))
             y_hats.append(y_hat)
-        y_hat = jnp.asarray(np.stack(y_hats))
-        x_hat = np.asarray(self._g_s(y_hat))
+        return np.stack(y_hats)
+
+    def decompress(self, strings, shape):
+        self._check_updated()
+        y_hat = self._decode_y_hat(strings, shape)
+        x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
         return {"x_hat": x_hat}

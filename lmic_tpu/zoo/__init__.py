@@ -29,9 +29,19 @@ from lmic_tpu.models.joint import (
 )
 from lmic_tpu.models.cheng import Cheng2020Anchor, Cheng2020Attention
 from lmic_tpu.models.video import ScaleSpaceFlow, ScaleSpaceFlowCodec
+from lmic_tpu.models.rgbt import (
+    GuidedCodec,
+    GuidedCompresser,
+    MasterCodec,
+    MasterCompresser,
+)
 
 # quality -> ctor args (reference zoo/image.py:189-246)
 cfgs: Dict[str, Dict[int, Tuple[int, ...]]] = {
+    # RGBT paper models: fixed N=M=192 across the lambda table
+    # (examples/train.py:373-385)
+    "guided": {q: (192, 192) for q in range(1, 8)},
+    "master": {q: (192, 192) for q in range(1, 8)},
     "bmshj2018-factorized": {
         **{q: (128, 192) for q in range(1, 6)},
         **{q: (192, 320) for q in range(6, 9)},
@@ -66,6 +76,8 @@ model_architectures: Dict[str, Tuple[Any, Any]] = {
     "mbt2018": (JointAutoregressiveHierarchicalPriors, JointARCodec),
     "cheng2020-anchor": (Cheng2020Anchor, JointARCodec),
     "cheng2020-attn": (Cheng2020Attention, JointARCodec),
+    "guided": (GuidedCompresser, GuidedCodec),
+    "master": (MasterCompresser, MasterCodec),
 }
 
 
