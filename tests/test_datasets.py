@@ -1,0 +1,158 @@
+"""Dataset & transform tests over generated fake data (the reference's
+fakedata asset pattern)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax.numpy as jnp
+
+from lmic_tpu.datasets import (
+    DataLoader,
+    ImageFolder,
+    ImageFolderRGB,
+    RawVideoSequence,
+    VideoFolder,
+    VideoFormat,
+    get_raw_video_file_info,
+)
+from lmic_tpu.transforms import (
+    rgb2ycbcr,
+    ycbcr2rgb,
+    yuv_420_to_444,
+    yuv_444_to_420,
+)
+
+
+@pytest.fixture(scope="module")
+def image_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("images")
+    rng = np.random.default_rng(0)
+    for split in ("train", "test"):
+        d = root / split
+        d.mkdir()
+        for i in range(4):
+            arr = (rng.random((300, 400, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"img{i:03d}.png")
+    return root
+
+
+@pytest.fixture(scope="module")
+def rgbt_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("flir")
+    rgb = root / "RGB"
+    th = root / "thermal_8_bit"
+    rgb.mkdir(), th.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        Image.fromarray(
+            (rng.random((1024, 1280, 3)) * 255).astype(np.uint8)
+        ).save(rgb / f"FLIR_{i:05d}.jpg")
+        Image.fromarray(
+            (rng.random((512, 640)) * 255).astype(np.uint8)
+        ).save(th / f"FLIR_{i:05d}.jpeg")
+    return root
+
+
+class TestImageFolder:
+    def test_train_crop(self, image_root):
+        ds = ImageFolder(image_root, "train", patch_size=(128, 128), seed=0)
+        assert len(ds) == 4
+        x = ds[0]
+        assert x.shape == (128, 128, 3) and x.dtype == np.float32
+        assert 0 <= x.min() and x.max() <= 1
+
+    def test_loader_batches(self, image_root):
+        ds = ImageFolder(image_root, "train", patch_size=(64, 64), seed=0)
+        dl = DataLoader(ds, batch_size=2, prefetch=2)
+        batches = list(dl)
+        assert len(batches) == 2
+        assert batches[0].shape == (2, 64, 64, 3)
+
+    def test_loader_no_prefetch_same_count(self, image_root):
+        ds = ImageFolder(image_root, "train", patch_size=(64, 64), seed=0)
+        assert len(list(DataLoader(ds, 2, prefetch=0))) == 2
+
+
+class TestImageFolderRGB:
+    def test_paired_ratio(self, rgbt_root):
+        ds = ImageFolderRGB(str(rgbt_root / "RGB"), crop_size=(256, 320),
+                            channel=3, seed=0)
+        assert len(ds) == 3
+        x, guided = ds[0]
+        assert guided.shape == (256, 320, 1)
+        assert x.shape == (512, 640, 3)  # master is exactly 2x guide
+
+
+class TestVideoFolder:
+    def test_clip_loading(self, tmp_path):
+        seq = tmp_path / "sequences" / "00001" / "0266"
+        seq.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(1, 8):
+            Image.fromarray(
+                (rng.random((256, 448, 3)) * 255).astype(np.uint8)
+            ).save(seq / f"im{i}.png")
+        (tmp_path / "sep_trainlist.txt").write_text("00001/0266\n")
+        ds = VideoFolder(tmp_path, num_frames=3, patch_size=(128, 128),
+                         seed=0)
+        clip = ds[0]
+        assert clip.shape == (3, 128, 128, 3)
+
+
+class TestRawVideo:
+    def test_filename_parsing(self):
+        info = get_raw_video_file_info(
+            "RaceHorses_832x480_30fps_yuv420_8bit.yuv"
+        )
+        assert info["width"] == 832 and info["height"] == 480
+        assert info["format"] == VideoFormat.YUV420
+        assert info["bitdepth"] == 8
+
+    def test_mmap_roundtrip(self, tmp_path):
+        W, H, T = 64, 32, 2
+        rng = np.random.default_rng(0)
+        frames = rng.integers(
+            0, 255, T * (H * W + 2 * (H // 2) * (W // 2)), dtype=np.uint8
+        )
+        path = tmp_path / f"test_{W}x{H}_25_yuv420.yuv"
+        frames.tofile(path)
+        seq = RawVideoSequence.from_file(str(path))
+        assert len(seq) == T
+        frame = seq[0]
+        assert frame["y"].shape == (H, W)
+        assert frame["u"].shape == (H // 2, W // 2)
+
+
+class TestColorTransforms:
+    def test_ycbcr_roundtrip(self):
+        rng = np.random.default_rng(0)
+        rgb = jnp.asarray(rng.random((2, 8, 8, 3), dtype=np.float32))
+        back = ycbcr2rgb(rgb2ycbcr(rgb))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rgb),
+                                   atol=1e-5)
+
+    def test_matches_torch_reference(self):
+        # compare against the reference formula computed via torch
+        torch = pytest.importorskip("torch")
+        import sys
+        rng = np.random.default_rng(1)
+        rgb = rng.random((1, 3, 8, 8)).astype(np.float32)
+        Kr, Kg, Kb = 0.2126, 0.7152, 0.0722
+        r, g, b = rgb[:, 0], rgb[:, 1], rgb[:, 2]
+        y = Kr * r + Kg * g + Kb * b
+        cb = 0.5 * (b - y) / (1 - Kb) + 0.5
+        cr = 0.5 * (r - y) / (1 - Kr) + 0.5
+        ours = np.asarray(
+            rgb2ycbcr(jnp.asarray(rgb.transpose(0, 2, 3, 1)))
+        ).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, np.stack([y, cb, cr], 1), atol=1e-6)
+
+    def test_420_roundtrip_shapes(self):
+        rng = np.random.default_rng(2)
+        yuv = jnp.asarray(rng.random((1, 16, 16, 3), dtype=np.float32))
+        y, u, v = yuv_444_to_420(yuv)
+        assert y.shape == (1, 16, 16, 1)
+        assert u.shape == (1, 8, 8, 1)
+        out = yuv_420_to_444((y, u, v))
+        assert out.shape == (1, 16, 16, 3)
