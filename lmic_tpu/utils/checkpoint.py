@@ -1,0 +1,120 @@
+"""Checkpoint save/load: flax msgpack serialization of the full train state
+(params + both optimizer states + step), plus deployment-checkpoint
+finalization (`update_model`) that bakes the coder CDF tables and renames
+with a content hash.
+
+Reference behaviors: examples/train.py:276-282 (save incl. optimizers,
+best-loss copy), compressai/utils/update_model/__main__.py:128-206
+(CDF baking + sha256[:8] suffix)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import shutil
+from typing import Any, Dict, Optional
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
+                    is_best: bool = False):
+    """Serialize a TrainState (or any pytree) + metadata."""
+    payload = {
+        "state": flax.serialization.to_bytes(jax.device_get(state)),
+        "extra": extra or {},
+    }
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+    if is_best:
+        best = os.path.join(
+            os.path.dirname(path) or ".",
+            os.path.basename(path).replace(".ckpt", "") + "_best_loss.ckpt",
+        )
+        shutil.copyfile(path, best)
+
+
+def load_checkpoint(path: str, state_template):
+    """Restore into a template pytree (same structure as saved)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    state = flax.serialization.from_bytes(state_template, payload["state"])
+    return state, payload.get("extra", {})
+
+
+def save_params(path: str, params):
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(jax.device_get(params)))
+
+
+def load_params(path: str, params_template):
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(params_template, f.read())
+
+
+def update_model_file(in_path: str, out_dir: str, codec, name: str) -> str:
+    """Finalize a deployment checkpoint: run codec.update(force=True), store
+    params + coding tables, and name the file with the sha256[:8] of its
+    contents (reference update_model/__main__.py:179-205)."""
+    codec.update(force=True)
+    blob: Dict[str, Any] = {
+        "params": flax.serialization.to_bytes(
+            jax.device_get(codec.variables)
+        ),
+    }
+    if codec.eb_state is not None:
+        blob["eb_state"] = {
+            "cdf": codec.eb_state.table.cdf,
+            "cdf_length": codec.eb_state.table.cdf_length,
+            "offset": codec.eb_state.table.offset,
+            "medians": codec.eb_state.medians,
+        }
+    if codec.gc_state is not None:
+        blob["gc_state"] = {
+            "cdf": codec.gc_state.table.cdf,
+            "cdf_length": codec.gc_state.table.cdf_length,
+            "offset": codec.gc_state.table.offset,
+            "scale_table": codec.gc_state.scale_table,
+        }
+    data = pickle.dumps(blob)
+    digest = hashlib.sha256(data).hexdigest()[:8]
+    out_path = os.path.join(out_dir, f"{name}-{digest}.ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(out_path, "wb") as f:
+        f.write(data)
+    return out_path
+
+
+def load_updated_model(path: str, codec):
+    """Load a deployment checkpoint produced by update_model_file into a
+    codec of the right architecture."""
+    from lmic_tpu.entropy.coder import CdfTable
+    from lmic_tpu.entropy.entropy_models import EBState, GaussianConditional, GCState
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    variables = flax.serialization.from_bytes(
+        codec.variables, blob["params"]
+    )
+    # re-wrap: the codec's jitted closures capture the variables at
+    # construction time
+    codec = type(codec)(codec.module, variables)
+    if "eb_state" in blob:
+        e = blob["eb_state"]
+        codec.eb_state = EBState(
+            table=CdfTable(e["cdf"], e["cdf_length"], e["offset"]),
+            medians=np.asarray(e["medians"]),
+        )
+    if "gc_state" in blob:
+        g = blob["gc_state"]
+        codec.gc_state = GCState(
+            table=CdfTable(g["cdf"], g["cdf_length"], g["offset"]),
+            scale_table=np.asarray(g["scale_table"]),
+            gc=GaussianConditional(),
+        )
+    return codec

@@ -1,0 +1,80 @@
+"""Image quality metrics on device: PSNR, SSIM, MS-SSIM.
+
+MS-SSIM follows Wang et al. 2003 with the standard 5-scale weights and an
+11x11 sigma-1.5 gaussian window — the same definition as
+pytorch_msssim.ms_ssim used by the reference eval CLIs
+(compressai/utils/eval_model/__main__rgbt.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lmic_tpu.ops.video import gaussian_kernel1d
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+def psnr(a, b, max_val: float = 1.0):
+    mse = jnp.mean((a - b) ** 2)
+    return 20 * jnp.log10(max_val) - 10 * jnp.log10(mse)
+
+
+def _blur(x, kernel1d):
+    """Separable valid-mode gaussian filter. x: (N, H, W, C)."""
+    C = x.shape[-1]
+    k = kernel1d.shape[0]
+    kh = jnp.tile(kernel1d.reshape(k, 1, 1, 1), (1, 1, 1, C))
+    kw = jnp.tile(kernel1d.reshape(1, k, 1, 1), (1, 1, 1, C))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+    return jax.lax.conv_general_dilated(
+        x, kw, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+
+
+def _ssim_components(x, y, max_val=1.0, win_size=11, sigma=1.5):
+    k1, k2 = 0.01, 0.03
+    c1 = (k1 * max_val) ** 2
+    c2 = (k2 * max_val) ** 2
+    kernel = gaussian_kernel1d(win_size, sigma, x.dtype)
+
+    mu_x = _blur(x, kernel)
+    mu_y = _blur(y, kernel)
+    sigma_x = _blur(x * x, kernel) - mu_x**2
+    sigma_y = _blur(y * y, kernel) - mu_y**2
+    sigma_xy = _blur(x * y, kernel) - mu_x * mu_y
+
+    cs = (2 * sigma_xy + c2) / (sigma_x + sigma_y + c2)
+    lum = (2 * mu_x * mu_y + c1) / (mu_x**2 + mu_y**2 + c1)
+    return lum * cs, cs
+
+
+def ssim(x, y, max_val: float = 1.0):
+    """Mean SSIM over a (N, H, W, C) pair."""
+    s, _ = _ssim_components(x, y, max_val)
+    return jnp.mean(s)
+
+
+def ms_ssim(x, y, max_val: float = 1.0):
+    """Multi-scale SSIM, 5 scales (needs spatial size >= 176 preferably;
+    >= 11 * 2^4 strictly)."""
+    weights = jnp.asarray(_MSSSIM_WEIGHTS, x.dtype)
+    values = []
+    for i in range(len(_MSSSIM_WEIGHTS)):
+        s, cs = _ssim_components(x, y, max_val)
+        values.append(
+            jnp.mean(s) if i == len(_MSSSIM_WEIGHTS) - 1 else jnp.mean(cs)
+        )
+        if i < len(_MSSSIM_WEIGHTS) - 1:
+            x = jax.lax.reduce_window(
+                x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            ) / 4.0
+            y = jax.lax.reduce_window(
+                y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            ) / 4.0
+    values = jnp.stack(values)
+    return jnp.prod(jnp.maximum(values, 0.0) ** weights)

@@ -1,0 +1,176 @@
+"""Tests for metrics, checkpointing, eval helpers, and the file-codec
+container format."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmic_tpu import zoo
+from lmic_tpu.utils import checkpoint as ckpt
+from lmic_tpu.utils.eval_model import (
+    eval_image_codec,
+    eval_image_forward,
+    pad_to_multiple,
+    unpad,
+)
+from lmic_tpu.utils.metrics import ms_ssim, psnr, ssim
+from lmic_tpu.utils.train import create_train_state, make_optimizer
+
+
+class TestMetrics:
+    def test_psnr(self):
+        a = jnp.zeros((1, 8, 8, 3))
+        b = jnp.full((1, 8, 8, 3), 0.1)
+        np.testing.assert_allclose(float(psnr(a, b)), 20.0, rtol=1e-5)
+
+    def test_ssim_identity(self):
+        x = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3))
+        assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ssim_decreases_with_noise(self):
+        x = jax.random.uniform(jax.random.key(0), (1, 64, 64, 3))
+        n1 = x + jax.random.normal(jax.random.key(1), x.shape) * 0.02
+        n2 = x + jax.random.normal(jax.random.key(1), x.shape) * 0.2
+        assert float(ssim(x, n1)) > float(ssim(x, n2))
+
+    def test_ms_ssim_range(self):
+        x = jax.random.uniform(jax.random.key(0), (1, 192, 192, 3))
+        y = x + jax.random.normal(jax.random.key(1), x.shape) * 0.05
+        v = float(ms_ssim(x, y))
+        assert 0 < v < 1
+        assert float(ms_ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_ssim_matches_skimage(self):
+        skimage = pytest.importorskip("skimage.metrics")
+        rng = np.random.default_rng(0)
+        a = rng.random((64, 64), dtype=np.float32)
+        b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+        ours = float(ssim(jnp.asarray(a[None, :, :, None]),
+                          jnp.asarray(b[None, :, :, None])))
+        theirs = skimage.structural_similarity(
+            a, b, win_size=11, gaussian_weights=True, sigma=1.5,
+            use_sample_covariance=False, data_range=1.0,
+        )
+        np.testing.assert_allclose(ours, theirs, atol=5e-3)
+
+
+class TestPadding:
+    def test_pad_unpad_roundtrip(self):
+        x = np.random.default_rng(0).random((1, 100, 150, 3)).astype(
+            np.float32
+        )
+        xp, meta = pad_to_multiple(x, 64)
+        assert xp.shape[1] % 64 == 0 and xp.shape[2] % 64 == 0
+        np.testing.assert_array_equal(unpad(xp, meta), x)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, input_size=(64, 64)
+        )
+        # shrink for speed
+        from lmic_tpu.models.image import FactorizedPrior
+        from lmic_tpu.models.codec import FactorizedPriorCodec
+
+        module = FactorizedPrior(N=16, M=24)
+        x = jnp.zeros((1, 32, 32, 3))
+        v = module.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+        )
+        opt = make_optimizer()
+        state = create_train_state(v["params"], opt)
+        path = str(tmp_path / "test.ckpt")
+        ckpt.save_checkpoint(path, state, {"epoch": 3}, is_best=True)
+        state2, extra = ckpt.load_checkpoint(path, state)
+        assert extra["epoch"] == 3
+        assert os.path.exists(str(tmp_path / "test_best_loss.ckpt"))
+        k0 = state.params["g_a_net"]["layers_0"]["Conv_0"]["kernel"]
+        k1 = state2.params["g_a_net"]["layers_0"]["Conv_0"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+
+    def test_update_model_roundtrip(self, tmp_path):
+        from lmic_tpu.models.image import FactorizedPrior
+        from lmic_tpu.models.codec import FactorizedPriorCodec
+
+        module = FactorizedPrior(N=16, M=24)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = module.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+        )
+        codec = FactorizedPriorCodec(module, v)
+        path = ckpt.update_model_file(
+            "unused", str(tmp_path), codec, "factorized-q1"
+        )
+        assert os.path.exists(path) and "-" in os.path.basename(path)
+
+        codec2 = FactorizedPriorCodec(module, v)
+        codec2 = ckpt.load_updated_model(path, codec2)
+        # identical CDF tables -> identical bitstreams
+        img = np.asarray(
+            jax.random.uniform(jax.random.key(2), (1, 64, 64, 3))
+        )
+        codec.update()
+        s1 = codec.compress(img)["strings"][0][0]
+        s2 = codec2.compress(img)["strings"][0][0]
+        assert s1 == s2
+
+
+class TestEvalHelpers:
+    def test_eval_modes_agree_on_bpp(self):
+        from lmic_tpu.models.image import MeanScaleHyperprior
+        from lmic_tpu.models.codec import HyperpriorCodec
+
+        module = MeanScaleHyperprior(N=16, M=24)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = module.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+        )
+        codec = HyperpriorCodec(module, v)
+        codec.update(force=True)
+        img = np.asarray(
+            jax.random.uniform(jax.random.key(5), (1, 96, 80, 3))
+        )
+        m_fwd = eval_image_forward(codec, img)
+        m_codec = eval_image_codec(codec, img)
+        assert m_codec["bpp"] < m_fwd["bpp"] * 1.2 + 0.3
+        assert m_codec["psnr"] > 0 and m_fwd["psnr"] > 0
+
+
+class TestCodecContainer:
+    def test_encode_decode_file(self, tmp_path):
+        from PIL import Image
+
+        from lmic_tpu.models.image import FactorizedPrior
+        from lmic_tpu.models.codec import FactorizedPriorCodec
+        from lmic_tpu.utils import codec_cli
+
+        rng = np.random.default_rng(0)
+        img_path = str(tmp_path / "in.png")
+        Image.fromarray(
+            (rng.random((96, 80, 3)) * 255).astype(np.uint8)
+        ).save(img_path)
+
+        module = FactorizedPrior(N=16, M=24)
+        x = jnp.zeros((1, 128, 128, 3))
+        v = module.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+        )
+        codec = FactorizedPriorCodec(module, v)
+        codec.update(force=True)
+
+        bin_path = str(tmp_path / "out.bin")
+        out_path = str(tmp_path / "rec.png")
+        size = codec_cli.encode_image(
+            img_path, bin_path, codec, "bmshj2018-factorized", 1
+        )
+        assert size > 8
+        arch, q = codec_cli.decode_image(
+            bin_path, out_path, lambda a, qq: codec
+        )
+        assert arch == "bmshj2018-factorized" and q == 1
+        rec = np.asarray(Image.open(out_path))
+        assert rec.shape == (96, 80, 3)
