@@ -347,3 +347,44 @@ def _qrelu_bwd(bit_depth, beta, x, g):
 
 
 qrelu.defvjp(_qrelu_fwd, _qrelu_bwd)
+
+
+class ESA(nn.Module):
+    """Enhanced Spatial Attention (reference models/google.py:1432-1459):
+    a strided-conv + maxpool branch computes a low-res saliency field that is
+    bilinearly resized back and sigmoid-gated onto the input."""
+
+    @nn.compact
+    def __call__(self, x):
+        N = x.shape[-1]
+        f = N // 4
+        c1_ = Conv(f, kernel_size=1, stride=1)(x)
+        # conv2: k3 s2 VALID (reference padding=0)
+        c1 = nn.Conv(f, (3, 3), strides=(2, 2), padding="VALID")(c1_)
+        v_max = jax.lax.reduce_window(
+            c1, -jnp.inf, jax.lax.max, (1, 7, 7, 1), (1, 3, 3, 1), "VALID"
+        )
+        v_range = nn.relu(conv3x3(f)(v_max))
+        c3 = nn.relu(conv3x3(f)(v_range))
+        c3 = conv3x3(f)(c3)
+        B, H, W, _ = x.shape
+        c3 = jax.image.resize(c3, (B, H, W, f), method="bilinear")
+        cf = Conv(f, kernel_size=1, stride=1)(c1_)
+        c4 = Conv(N, kernel_size=1, stride=1)(c3 + cf)
+        return x * jax.nn.sigmoid(c4)
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation channel gate (reference google.py:1462-1477)."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))
+        y = nn.Dense(C // self.reduction, use_bias=False)(y)
+        y = nn.relu(y)
+        y = nn.Dense(C, use_bias=False)(y)
+        y = jax.nn.sigmoid(y)
+        return x * y[:, None, None, :]
