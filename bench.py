@@ -30,19 +30,20 @@ def main():
     codec.update(force=True)
 
     rng = np.random.default_rng(0)
-    x = rng.random((B, H, W, 3), dtype=np.float32)
+    # uint8 input: the production fast path (images are uint8 at rest; the
+    # host<->device link moves uint8 pixels and int16 symbols)
+    x = (rng.random((B, H, W, 3)) * 255).astype(np.uint8)
 
     # warmup (compile)
     out = codec.compress(x)
-    rec = codec.decompress(out["strings"], out["shape"])
+    rec = codec.decompress(out["strings"], out["shape"], u8=True)
     assert rec["x_hat"].shape == x.shape
 
-    iters = 3
+    iters = 4
     t0 = time.perf_counter()
     for _ in range(iters):
         out = codec.compress(x)
-        rec = codec.decompress(out["strings"], out["shape"])
-    jax.block_until_ready(0)
+        rec = codec.decompress(out["strings"], out["shape"], u8=True)
     dt = time.perf_counter() - t0
 
     megapixels = B * H * W / 1e6 * iters
