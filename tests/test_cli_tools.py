@@ -1,0 +1,89 @@
+"""CLI tool tests: traditional codec bench, plot series loading, find_close
+bisection, video eval on a tiny synthetic YUV clip."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lmic_tpu.utils.bench_codecs import CODECS, JPEG, WebP
+from lmic_tpu.utils.find_close import find_closest
+from lmic_tpu.utils.plot_cli import load_series
+
+
+@pytest.fixture(scope="module")
+def img_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bench")
+    rng = np.random.default_rng(0)
+    # low-frequency content so JPEG quality actually spans bpp range
+    base = rng.random((8, 8, 3))
+    arr = np.kron(base, np.ones((24, 24, 1)))[:176, :176]
+    path = d / "img.png"
+    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+    return str(path)
+
+
+class TestTraditionalCodecs:
+    @pytest.mark.parametrize("cls", [JPEG, WebP])
+    def test_run_metrics(self, cls, img_path):
+        m = cls().run(img_path, 50)
+        assert set(m) >= {"psnr", "ms-ssim", "bpp", "encoding_time",
+                          "decoding_time"}
+        assert m["psnr"] > 15 and 0 < m["bpp"] < 24
+
+    def test_quality_monotonic(self, img_path):
+        jpeg = JPEG()
+        lo = jpeg.run(img_path, 10)
+        hi = jpeg.run(img_path, 90)
+        assert hi["psnr"] > lo["psnr"]
+        assert hi["bpp"] > lo["bpp"]
+
+
+class TestFindClose:
+    def test_bisects_bpp(self, img_path):
+        target = JPEG().run(img_path, 50)["bpp"]
+        q, res = find_closest("jpeg", img_path, target, "bpp")
+        assert abs(res["bpp"] - target) / target < 0.5
+
+
+class TestPlotSeries:
+    def test_load_series(self, tmp_path):
+        data = [{
+            "name": "model-a",
+            "results": {"bpp": [0.1, 0.3], "psnr": [28.0, 32.0]},
+        }]
+        p = tmp_path / "r.json"
+        p.write_text(json.dumps(data))
+        series = load_series(str(p), "psnr")
+        assert series == [("model-a", [0.1, 0.3], [28.0, 32.0])]
+
+
+class TestVideoEval:
+    def test_tiny_sequence(self, tmp_path):
+        import jax
+
+        from lmic_tpu.models.video import ScaleSpaceFlow, ScaleSpaceFlowCodec
+        from lmic_tpu.utils.video_eval import eval_sequence
+        from lmic_tpu.datasets.rawvideo import RawVideoSequence
+
+        W, H, T = 128, 128, 2
+        rng = np.random.default_rng(0)
+        frames = rng.integers(
+            0, 255, T * (H * W + 2 * (H // 2) * (W // 2)), dtype=np.uint8
+        )
+        path = tmp_path / f"clip_{W}x{H}_30_yuv420.yuv"
+        frames.tofile(path)
+        seq = RawVideoSequence.from_file(str(path))
+
+        module = ScaleSpaceFlow()
+        clip = np.zeros((1, 2, 128, 128, 3), np.float32)
+        v = module.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            clip,
+        )
+        codec = ScaleSpaceFlowCodec(module, v)
+        codec.update(force=True)
+        m = eval_sequence(codec, seq, gop=2)
+        assert np.isfinite(m["psnr-rgb"]) and np.isfinite(m["psnr-yuv"])
+        assert m["bitrate"] > 0
