@@ -27,6 +27,17 @@ over the batch axis (data parallel) — see `lmic_tpu.parallel`.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("LMIC_PLATFORM"):
+    # Deployment-environment escape hatch: some TPU images pin the jax
+    # platform from sitecustomize *after* env parsing, so JAX_PLATFORMS
+    # alone cannot select the CPU backend for host-side CLI runs. Setting
+    # LMIC_PLATFORM=cpu forces it at package import, before any tracing.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["LMIC_PLATFORM"])
+
 from lmic_tpu import ops  # noqa: F401
 
 _entropy_coder = "rans"

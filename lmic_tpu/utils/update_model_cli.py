@@ -1,0 +1,81 @@
+"""Finalize a training checkpoint for deployment.
+
+Loads a training checkpoint, bakes the integer coding tables
+(`codec.update(force=True)`), and writes a deployment checkpoint named
+`<arch>-q<q>-<sha256[:8]>.ckpt`.
+
+Reference: `compressai/utils/update_model/__main__.py:128-206` (load
+checkpoint -> net.update(force=True) -> save `{name}-{sha256[:8]}.pth.tar`,
+with special-casing for Guided_compresser / Master_compresser; here the
+architecture is an explicit flag instead of filename parsing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+
+from lmic_tpu import zoo
+from lmic_tpu.utils import checkpoint as ckpt
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="lmic_tpu update_model")
+    p.add_argument("checkpoint", help="training checkpoint (.ckpt)")
+    p.add_argument("-a", "--arch", default="bmshj2018-factorized")
+    p.add_argument("-q", "--quality", type=int, default=1)
+    p.add_argument("--channel", type=int, default=3)
+    p.add_argument("-d", "--dir", dest="out_dir", default=".",
+                   help="output directory")
+    p.add_argument("-n", "--name", default=None,
+                   help="output stem (default: <arch>-q<quality>)")
+    p.add_argument("--no-update", action="store_true",
+                   help="skip CDF re-baking (reference --no-update)")
+    p.add_argument("--raw-params", action="store_true",
+                   help="checkpoint holds bare params (save_params), not a "
+                        "TrainState")
+    return p.parse_args(argv)
+
+
+def run(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    codec = zoo.create_model(
+        args.arch, args.quality, channel=args.channel,
+        key=jax.random.key(0),
+    )
+    if args.raw_params:
+        params = ckpt.load_params(
+            args.checkpoint, codec.variables["params"]
+        )
+    else:
+        from lmic_tpu.utils.train import create_train_state, make_optimizer
+
+        state = create_train_state(
+            codec.variables["params"], make_optimizer()
+        )
+        state, _ = ckpt.load_checkpoint(args.checkpoint, state)
+        params = state.params
+    codec = type(codec)(codec.module, {"params": params})
+    name = args.name or f"{args.arch}-q{args.quality}"
+    os.makedirs(args.out_dir, exist_ok=True)
+    if args.no_update:
+        out = f"{args.out_dir}/{name}.ckpt"
+        ckpt.save_params(out, params)
+    else:
+        out = ckpt.update_model_file(
+            args.checkpoint, args.out_dir, codec, name
+        )
+    print(out)
+    return out
+
+
+def main(argv=None):
+    run(argv)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -87,3 +87,38 @@ class TestVideoEval:
         m = eval_sequence(codec, seq, gop=2)
         assert np.isfinite(m["psnr-rgb"]) and np.isfinite(m["psnr-yuv"])
         assert m["bitrate"] > 0
+
+
+class TestUpdateModel:
+    def test_finalize_and_reload(self, tmp_path):
+        import jax
+
+        from lmic_tpu import zoo
+        from lmic_tpu.utils import checkpoint as ckpt
+        from lmic_tpu.utils.checkpoint import load_updated_model
+        from lmic_tpu.utils.train import create_train_state, make_optimizer
+        from lmic_tpu.utils.update_model_cli import run
+
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        state = create_train_state(codec.variables["params"], make_optimizer())
+        train_ckpt = tmp_path / "train.ckpt"
+        ckpt.save_checkpoint(str(train_ckpt), state)
+
+        out = run([
+            str(train_ckpt), "-a", "bmshj2018-factorized", "-q", "1",
+            "-d", str(tmp_path),
+        ])
+        assert "bmshj2018-factorized-q1-" in out
+
+        codec2 = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(1),
+            input_size=(64, 64),
+        )
+        codec2 = load_updated_model(out, codec2)
+        x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+        o = codec2.compress(x)
+        r = codec2.decompress(o["strings"], o["shape"])
+        assert r["x_hat"].shape == x.shape
