@@ -93,10 +93,15 @@ def make_module(architecture: str, quality: int, channel: int = 3, **kwargs):
         raise ValueError(f'Invalid quality value "{quality}"')
     args = cfgs[architecture][quality]
     module_cls, _ = model_architectures[architecture]
+    # kwargs may override the quality table's widths (parity/testing)
     if len(args) == 2:
-        return module_cls(N=args[0], M=args[1], channel=channel, **kwargs)
-    # single-arg families (cheng2020*) use M = N (waseda.py:63)
-    return module_cls(N=args[0], M=args[0], channel=channel, **kwargs)
+        N = kwargs.pop("N", args[0])
+        M = kwargs.pop("M", args[1])
+    else:
+        # single-arg families (cheng2020*) use M = N (waseda.py:63)
+        N = kwargs.pop("N", args[0])
+        M = kwargs.pop("M", N)
+    return module_cls(N=N, M=M, channel=channel, **kwargs)
 
 
 def create_model(

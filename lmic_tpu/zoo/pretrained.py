@@ -1,0 +1,369 @@
+"""Cross-framework weight import: reference PyTorch checkpoints -> lmic_tpu.
+
+The reference distributes trained CompressAI-format PyTorch checkpoints
+(compressai/zoo/pretrained.py, compressai/zoo/image.py:62-187). This module
+converts such a `state_dict` into this framework's flax param tree so
+reference-trained models run (and code bitstreams) here unchanged.
+
+Layout rules (torch -> flax/NHWC):
+- Conv2d weight OIHW -> HWIO: transpose(2, 3, 1, 0).
+- ConvTranspose2d weight (I, O, kh, kw): our Deconv is an input-dilated
+  CORRELATION (layers.py Deconv), while torch's transposed conv applies the
+  kernel spatially flipped -> transpose(2, 3, 0, 1) then flip both spatial
+  axes.
+- GDN beta (C,) / gamma (C_out, C_in): stored in the same sqrt-reparam
+  space on both sides -> direct copy.
+- EntropyBottleneck `_matrix{k}/_bias{k}/_factor{k}/quantiles`: identical
+  (C, a, b) shapes -> direct copy to `matrix_{k}/bias_{k}/factor_{k}`.
+- MaskedConv2d: both sides apply the causal mask at call time -> plain
+  OIHW -> HWIO on the raw weight; the `.mask` buffer is dropped.
+- Coder-state buffers (`_quantized_cdf`, `_offset`, `_cdf_length`,
+  `scale_table`, bound constants) are NOT parameters here: call
+  `codec.update(force=True)` (or load a deployment checkpoint) after import.
+
+Key renaming mirrors the reference's `load_pretrained`
+(compressai/zoo/pretrained.py:36-64): strip `module.` (DataParallel) and
+rename ParameterList-era keys (`...matrices.{k}` -> `..._matrix{k}`, same
+for biases/factors).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+__all__ = [
+    "rename_reference_keys",
+    "load_torch_state_dict",
+    "import_reference_state_dict",
+    "load_reference_checkpoint",
+]
+
+
+def _np(t) -> np.ndarray:
+    """torch.Tensor | np.ndarray -> float32/raw numpy (host)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def rename_reference_keys(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """Reference `load_pretrained` semantics: strip `module.`, rename
+    ParameterList keys (matrices.{k} -> _matrix{k}, biases -> _bias,
+    factors -> _factor)."""
+    out = {}
+    for k, v in state_dict.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        k = re.sub(r"(.*)\.matrices\.(\d+)$", r"\1._matrix\2", k)
+        k = re.sub(r"(.*)\.biases\.(\d+)$", r"\1._bias\2", k)
+        k = re.sub(r"(.*)\.factors\.(\d+)$", r"\1._factor\2", k)
+        out[k] = v
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a reference .pth(.tar) checkpoint into {name: numpy}. Accepts
+    either a bare state_dict or a training checkpoint with a 'state_dict'
+    entry (reference examples/train.py:276-282)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(blob, dict) and "state_dict" in blob:
+        blob = blob["state_dict"]
+    return {k: _np(v) for k, v in rename_reference_keys(blob).items()}
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """Conv2d OIHW -> HWIO."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _deconv_kernel(w: np.ndarray) -> np.ndarray:
+    """ConvTranspose2d (I, O, kh, kw) -> our input-dilated correlation
+    kernel (kh, kw, I, O), spatially flipped."""
+    return np.ascontiguousarray(w.transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def _seq_to_layers(sd: Dict[str, np.ndarray], prefix: str,
+                   deconv_indices=(), conv_name: str = "Conv_0"):
+    """Convert a torch nn.Sequential subtree `{prefix}.{i}.*` into our
+    `layers_{i}` dict: convs/deconvs -> {conv_name: {kernel, bias}},
+    GDN beta/gamma -> direct."""
+    layers: Dict[str, Any] = {}
+    for key, v in sd.items():
+        if not key.startswith(prefix + "."):
+            continue
+        rest = key[len(prefix) + 1:]
+        parts = rest.split(".")
+        idx = int(parts[0])
+        name = ".".join(parts[1:])
+        slot = layers.setdefault(f"layers_{idx}", {})
+        if name == "weight":
+            k = (_deconv_kernel(v) if idx in deconv_indices
+                 else _conv_kernel(v))
+            slot.setdefault(conv_name, {})["kernel"] = k
+        elif name == "bias":
+            slot.setdefault(conv_name, {})["bias"] = v.astype(np.float32)
+        elif name in ("beta", "gamma"):
+            slot[name] = v.astype(np.float32)
+        # reparam pedestals / lower bounds are constants -> dropped
+    return layers
+
+
+def _entropy_bottleneck(sd: Dict[str, np.ndarray],
+                        prefix: str = "entropy_bottleneck"):
+    eb: Dict[str, np.ndarray] = {}
+    pat = re.compile(
+        re.escape(prefix) + r"\._(matrix|bias|factor)(\d+)$"
+    )
+    for key, v in sd.items():
+        m = pat.match(key)
+        if m:
+            eb[f"{m.group(1)}_{m.group(2)}"] = v.astype(np.float32)
+        elif key == f"{prefix}.quantiles":
+            eb["quantiles"] = v.astype(np.float32)
+    return eb
+
+
+# -- per-architecture importers ----------------------------------------------
+
+def _import_factorized(sd):
+    return {
+        "entropy_bottleneck": _entropy_bottleneck(sd),
+        "g_a_net": _seq_to_layers(sd, "g_a"),
+        "g_s_net": _seq_to_layers(sd, "g_s", deconv_indices=(0, 2, 4, 6)),
+    }
+
+
+def _import_scale_hyperprior(sd):
+    p = _import_factorized(sd)
+    p["h_a_net"] = _seq_to_layers(sd, "h_a")
+    # h_s: deconv, deconv, conv3x3 (reference google.py:252-259 / :371-379)
+    p["h_s_net"] = _seq_to_layers(sd, "h_s", deconv_indices=(0, 2))
+    return p
+
+
+def _import_mean_scale(sd):
+    return _import_scale_hyperprior(sd)
+
+
+def _import_joint(sd):
+    p = _import_scale_hyperprior(sd)
+    p["entropy_parameters_net"] = _seq_to_layers(sd, "entropy_parameters")
+    p["context_prediction"] = {
+        "kernel": _conv_kernel(sd["context_prediction.weight"]),
+        "bias": sd["context_prediction.bias"].astype(np.float32),
+    }
+    return p
+
+
+# -- cheng2020: residual/attention block subtree converters -------------------
+#
+# Submodule name correspondences (torch module field -> our flax auto-name):
+#   ResidualBlockWithStride: conv1->Conv_0, conv2->Conv_1, gdn->GDN_0,
+#     skip->Conv_2                              (layers.py:244-260)
+#   ResidualBlock: conv1->Conv_0, conv2->Conv_1 (+skip->Conv_2 if C changes)
+#   ResidualBlockUpsample: subpel_conv->SubpelConv3x3_0, conv->Conv_0,
+#     igdn->GDN_0, upsample->SubpelConv3x3_1    (layers.py:262-276)
+#   AttentionBlock: conv_a.{j}-> _ResidualUnit_{j}, conv_b.{j} ->
+#     _ResidualUnit_{3+j}, conv_b.3->Conv_0; each ResidualUnit's
+#     conv.{0,2,4} -> Conv_{0,1,2}              (layers.py:295-322)
+
+
+def _wb(sd, base):
+    return {
+        "kernel": _conv_kernel(sd[f"{base}.weight"]),
+        "bias": sd[f"{base}.bias"].astype(np.float32),
+    }
+
+
+def _gdn(sd, base):
+    return {
+        "beta": sd[f"{base}.beta"].astype(np.float32),
+        "gamma": sd[f"{base}.gamma"].astype(np.float32),
+    }
+
+
+def _block_rbs(sd, p):
+    out = {
+        "Conv_0": {"Conv_0": _wb(sd, f"{p}.conv1")},
+        "Conv_1": {"Conv_0": _wb(sd, f"{p}.conv2")},
+        "GDN_0": _gdn(sd, f"{p}.gdn"),
+    }
+    if f"{p}.skip.weight" in sd:
+        out["Conv_2"] = {"Conv_0": _wb(sd, f"{p}.skip")}
+    return out
+
+
+def _block_rb(sd, p):
+    out = {
+        "Conv_0": {"Conv_0": _wb(sd, f"{p}.conv1")},
+        "Conv_1": {"Conv_0": _wb(sd, f"{p}.conv2")},
+    }
+    if f"{p}.skip.weight" in sd:
+        out["Conv_2"] = {"Conv_0": _wb(sd, f"{p}.skip")}
+    return out
+
+
+def _block_rbu(sd, p):
+    return {
+        "SubpelConv3x3_0": {"Conv_0": {"Conv_0": _wb(sd, f"{p}.subpel_conv.0")}},
+        "Conv_0": {"Conv_0": _wb(sd, f"{p}.conv")},
+        "GDN_0": _gdn(sd, f"{p}.igdn"),
+        "SubpelConv3x3_1": {"Conv_0": {"Conv_0": _wb(sd, f"{p}.upsample.0")}},
+    }
+
+
+def _block_attn(sd, p):
+    out = {}
+    for j in range(3):
+        out[f"_ResidualUnit_{j}"] = {
+            "Conv_0": {"Conv_0": _wb(sd, f"{p}.conv_a.{j}.conv.0")},
+            "Conv_1": {"Conv_0": _wb(sd, f"{p}.conv_a.{j}.conv.2")},
+            "Conv_2": {"Conv_0": _wb(sd, f"{p}.conv_a.{j}.conv.4")},
+        }
+        out[f"_ResidualUnit_{3 + j}"] = {
+            "Conv_0": {"Conv_0": _wb(sd, f"{p}.conv_b.{j}.conv.0")},
+            "Conv_1": {"Conv_0": _wb(sd, f"{p}.conv_b.{j}.conv.2")},
+            "Conv_2": {"Conv_0": _wb(sd, f"{p}.conv_b.{j}.conv.4")},
+        }
+    out["Conv_0"] = {"Conv_0": _wb(sd, f"{p}.conv_b.3")}
+    return out
+
+
+def _block_conv(sd, p):
+    return {"Conv_0": _wb(sd, p)}
+
+
+def _block_subpel(sd, p):
+    # subpel_conv3x3 = Sequential(conv, PixelShuffle) -> inner conv at `.0`
+    return {"Conv_0": {"Conv_0": _wb(sd, f"{p}.0")}}
+
+
+_CHENG_BLOCK = {
+    "rbs": _block_rbs,
+    "rb": _block_rb,
+    "rbu": _block_rbu,
+    "attn": _block_attn,
+    "conv": _block_conv,
+    "subpel": _block_subpel,
+}
+
+
+def _cheng_seq(sd, prefix, schedule):
+    return {
+        f"layers_{i}": _CHENG_BLOCK[kind](sd, f"{prefix}.{i}")
+        for i, kind in enumerate(schedule)
+    }
+
+
+def _import_cheng(sd, attention: bool):
+    if attention:
+        g_a = ["rbs", "rb", "rbs", "attn", "rb", "rbs", "rb", "conv", "attn"]
+        g_s = ["attn", "rb", "rbu", "rb", "rbu", "attn", "rb", "rbu", "rb",
+               "subpel"]
+    else:
+        g_a = ["rbs", "rb", "rbs", "rb", "rbs", "rb", "conv"]
+        g_s = ["rb", "rbu", "rb", "rbu", "rb", "rbu", "rb", "subpel"]
+    p = {
+        "entropy_bottleneck": _entropy_bottleneck(sd),
+        "g_a_net": _cheng_seq(sd, "g_a", g_a),
+        "g_s_net": _cheng_seq(sd, "g_s", g_s),
+        # h_a: 5 conv3x3 with leaky relus between (waseda.py:49-158)
+        "h_a_net": {
+            f"layers_{i}": _block_conv(sd, f"h_a.{i}")
+            for i in (0, 2, 4, 6, 8)
+        },
+        # h_s: conv, subpel, conv, subpel, conv
+        "h_s_net": {
+            "layers_0": _block_conv(sd, "h_s.0"),
+            "layers_2": _block_subpel(sd, "h_s.2"),
+            "layers_4": _block_conv(sd, "h_s.4"),
+            "layers_6": _block_subpel(sd, "h_s.6"),
+            "layers_8": _block_conv(sd, "h_s.8"),
+        },
+        "entropy_parameters_net": _seq_to_layers(sd, "entropy_parameters"),
+        "context_prediction": {
+            "kernel": _conv_kernel(sd["context_prediction.weight"]),
+            "bias": sd["context_prediction.bias"].astype(np.float32),
+        },
+    }
+    return p
+
+
+_IMPORTERS = {
+    "bmshj2018-factorized": _import_factorized,
+    "bmshj2018-hyperprior": _import_scale_hyperprior,
+    "mbt2018-mean": _import_mean_scale,
+    "mbt2018": _import_joint,
+    "cheng2020-anchor": lambda sd: _import_cheng(sd, attention=False),
+    "cheng2020-attn": lambda sd: _import_cheng(sd, attention=True),
+}
+
+
+def import_reference_state_dict(arch: str, state_dict: Dict[str, Any],
+                                variables=None):
+    """Convert a reference state_dict (names already normalized via
+    rename_reference_keys, torch tensors or numpy) into flax `variables`.
+
+    If `variables` (a template from module.init) is given, the result is
+    validated leaf-by-leaf against its shapes.
+    """
+    sd = {k: _np(v) for k, v in rename_reference_keys(state_dict).items()}
+    if arch not in _IMPORTERS:
+        raise ValueError(
+            f"no reference importer for '{arch}' "
+            f"(available: {sorted(_IMPORTERS)})"
+        )
+    params = _IMPORTERS[arch](sd)
+    if variables is not None:
+        import jax
+
+        ref_leaves = jax.tree_util.tree_flatten_with_path(
+            variables["params"]
+        )[0]
+        got = dict(
+            jax.tree_util.tree_flatten_with_path(params)[0]
+        )
+        for path, leaf in ref_leaves:
+            if path not in got:
+                raise KeyError(
+                    f"missing imported param {jax.tree_util.keystr(path)}"
+                )
+            if got[path].shape != leaf.shape:
+                raise ValueError(
+                    f"shape mismatch at {jax.tree_util.keystr(path)}: "
+                    f"imported {got[path].shape} vs model {leaf.shape}"
+                )
+        if len(got) != len(ref_leaves):
+            extra = set(got) - {p for p, _ in ref_leaves}
+            raise KeyError(
+                "imported params not in model: "
+                + ", ".join(jax.tree_util.keystr(p) for p in extra)
+            )
+    return {"params": params}
+
+
+def load_reference_checkpoint(arch: str, path: str, quality: int = 1,
+                              channel: int = 3, input_size=(256, 256),
+                              update: bool = True, **kwargs):
+    """One-call path from a reference .pth(.tar) file to a ready codec:
+    read + rename + convert layouts, wrap in the architecture's codec class,
+    and (by default) bake fresh integer coding tables."""
+    import jax
+
+    from lmic_tpu import zoo
+
+    codec = zoo.create_model(
+        arch, quality, key=jax.random.key(0), channel=channel,
+        input_size=input_size, **kwargs,
+    )
+    sd = load_torch_state_dict(path)
+    variables = import_reference_state_dict(arch, sd, codec.variables)
+    codec = type(codec)(codec.module, variables)
+    if update:
+        codec.update(force=True)
+    return codec
