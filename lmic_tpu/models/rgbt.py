@@ -314,6 +314,15 @@ class SpatialAligner(nn.Module):
                 name=f"block_{i}",
             )(out, g)
 
+        # The reference maps the (B, L, C) token sequence back to spatial
+        # with a raw `view(B, C, H', W')` — a reinterpretation, not a
+        # transpose (master.py:739). Its trained recovery deconv expects
+        # that exact (scrambled) layout, so reproduce it bit-for-bit:
+        # flatten tokens l-major/c-minor, then reinterpret as (C, H', W').
+        B, Hp, Wp, C = out.shape
+        out = out.reshape(B, Hp * Wp * C)           # l*C + c order
+        out = out.reshape(B, C, Hp, Wp)             # raw view, torch order
+        out = out.transpose(0, 2, 3, 1)             # back to NHWC
         return Deconv(
             self.out_channel, kernel_size=p, stride=p,
             padding=0, output_padding=0, name="recovery",

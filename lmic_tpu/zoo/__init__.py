@@ -119,10 +119,31 @@ def create_model(
     if variables is None:
         if key is None:
             key = jax.random.key(0)
-        x = jnp.zeros((1, *input_size, channel), jnp.float32)
-        variables = module.init(
-            {"params": key, "noise": jax.random.fold_in(key, 1)}, x
-        )
+        H, W = input_size
+        x = jnp.zeros((1, H, W, channel), jnp.float32)
+        rngs = {"params": key, "noise": jax.random.fold_in(key, 1)}
+        if architecture == "master":
+            # the conditioned codec also needs the decoded guide and its
+            # hidden decoder taps to trace shapes (models/rgbt.py)
+            roles = module._roles()
+            if roles["guided_stride"] == 2:   # guide at 2x master res
+                gH, gW = 2 * H, 2 * W
+            else:                              # master at 2x guide res
+                gH, gW = H // 2, W // 2
+            guided_hat = jnp.zeros(
+                (1, gH, gW, roles["guided_chl"]), jnp.float32
+            )
+            yg = gH // 16
+            hidden = {
+                f"gs{i + 1}": jnp.zeros(
+                    (1, yg * 2 ** (i + 1), (gW // 16) * 2 ** (i + 1),
+                     module.N), jnp.float32,
+                )
+                for i in range(3)
+            }
+            variables = module.init(rngs, x, guided_hat, hidden)
+        else:
+            variables = module.init(rngs, x)
     return codec_cls(module, variables)
 
 

@@ -367,3 +367,246 @@ def load_reference_checkpoint(arch: str, path: str, quality: int = 1,
     if update:
         codec.update(force=True)
     return codec
+
+
+# -- ssf2020 video -------------------------------------------------------------
+
+def _ssf_codec_seq(sd, prefix, kind, n_bias_ch=None):
+    """img/res/motion encoder/decoder: torch Sequential conv/deconv at even
+    indices (video/google.py:75-196) -> our Conv_{j}/Deconv_{j} stacks."""
+    out = {}
+    for j, i in enumerate((0, 2, 4, 6)):
+        w = sd[f"{prefix}.{i}.weight"]
+        if kind == "conv":
+            out[f"Conv_{j}"] = {"Conv_0": {
+                "kernel": _conv_kernel(w),
+                "bias": sd[f"{prefix}.{i}.bias"].astype(np.float32),
+            }}
+        else:
+            out[f"Deconv_{j}"] = {"Conv_0": {
+                "kernel": _deconv_kernel(w),
+                "bias": sd[f"{prefix}.{i}.bias"].astype(np.float32),
+            }}
+    return out
+
+
+def _ssf_hyperprior(sd, prefix):
+    """Hyperprior sub-codec (video/google.py:121-196): plain conv/deconv
+    stacks plus the QReLU'd scale decoder whose layers are named fields
+    (`deconv1..3`) rather than Sequential indices."""
+    def cv(base, deconv=False):
+        w = sd[f"{base}.weight"]
+        return {"Conv_0": {
+            "kernel": _deconv_kernel(w) if deconv else _conv_kernel(w),
+            "bias": sd[f"{base}.bias"].astype(np.float32),
+        }}
+
+    return {
+        "entropy_bottleneck": _entropy_bottleneck(
+            sd, f"{prefix}.entropy_bottleneck"
+        ),
+        "hyper_encoder": {
+            f"Conv_{j}": cv(f"{prefix}.hyper_encoder.{i}")
+            for j, i in enumerate((0, 2, 4))
+        },
+        "hyper_decoder_mean": {
+            f"Deconv_{j}": cv(f"{prefix}.hyper_decoder_mean.{i}", deconv=True)
+            for j, i in enumerate((0, 2, 4))
+        },
+        "hyper_decoder_scale": {
+            f"Deconv_{j}": cv(
+                f"{prefix}.hyper_decoder_scale.deconv{i}", deconv=True
+            )
+            for j, i in enumerate((1, 2, 3))
+        },
+    }
+
+
+def _import_ssf2020(sd):
+    p = {}
+    for name in ("img", "res", "motion"):
+        p[f"{name}_encoder"] = _ssf_codec_seq(sd, f"{name}_encoder", "conv")
+        p[f"{name}_decoder"] = _ssf_codec_seq(sd, f"{name}_decoder", "deconv")
+        p[f"{name}_hyperprior"] = _ssf_hyperprior(sd, f"{name}_hyperprior")
+    return p
+
+
+_IMPORTERS["ssf2020"] = _import_ssf2020
+
+
+# -- RGB-T paper models: Guided_compresser / Master_compresser -----------------
+
+def _dense(sd, base):
+    """torch Linear (out, in) -> flax Dense kernel (in, out)."""
+    return {
+        "kernel": np.ascontiguousarray(sd[f"{base}.weight"].T),
+        "bias": sd[f"{base}.bias"].astype(np.float32),
+    }
+
+
+def _layernorm(sd, base):
+    return {
+        "scale": sd[f"{base}.weight"].astype(np.float32),
+        "bias": sd[f"{base}.bias"].astype(np.float32),
+    }
+
+
+def _resblock64(sd, base):
+    """master.py:29-60 ResidualBlock: conv1/conv2 (+1x1 skip iff C changes)
+    -> our _ResBlock64 Conv_0/Conv_1 (+Conv_2)."""
+    out = {
+        "Conv_0": {"Conv_0": _wb(sd, f"{base}.conv1")},
+        "Conv_1": {"Conv_0": _wb(sd, f"{base}.conv2")},
+    }
+    if f"{base}.skip.weight" in sd:
+        out["Conv_2"] = {"Conv_0": _wb(sd, f"{base}.skip")}
+    return out
+
+
+def _feature_encoder(sd, base):
+    """master.py:68-84 Feature_encoder: conv1 + 3 ResidualBlocks."""
+    return {
+        "Conv_0": {"Conv_0": _wb(sd, f"{base}.conv1")},
+        "_ResBlock64_0": _resblock64(sd, f"{base}.resblock1"),
+        "_ResBlock64_1": _resblock64(sd, f"{base}.resblock2"),
+        "_ResBlock64_2": _resblock64(sd, f"{base}.resblock3"),
+    }
+
+
+def _feature_decoder(sd, base):
+    """master.py:99-118 Feature_decoder: 3 ResidualBlocks + 1x1 shortcut
+    conv + final transposed conv."""
+    w = sd[f"{base}.deconv1.weight"]
+    return {
+        "_ResBlock64_0": _resblock64(sd, f"{base}.resblock1"),
+        "_ResBlock64_1": _resblock64(sd, f"{base}.resblock2"),
+        "_ResBlock64_2": _resblock64(sd, f"{base}.resblock3"),
+        "Conv_0": {"Conv_0": _wb(sd, f"{base}.conv")},
+        "Deconv_0": {"Conv_0": {
+            "kernel": _deconv_kernel(w),
+            "bias": sd[f"{base}.deconv1.bias"].astype(np.float32),
+        }},
+    }
+
+
+def _channel_aligner(sd, base="ch_aligner"):
+    """master.py:158-210 Channel_aligner: 4-conv shared trunk + beta/gamma
+    heads (conv5 -> beta from master feature, conv6 -> gamma from guide)."""
+    return {
+        f"Conv_{i}": {"Conv_0": _wb(sd, f"{base}.conv{i + 1}")}
+        for i in range(6)
+    }
+
+
+def _swin_block(sd, base):
+    """master.py:572-706 SwinTransformerBlock (cross-attention variant)."""
+    return {
+        "norm1": _layernorm(sd, f"{base}.norm1"),
+        "norm2": _layernorm(sd, f"{base}.norm2"),
+        "WindowCrossAttention_0": {
+            "qkv1": _dense(sd, f"{base}.attn.qkv1"),
+            "qkv2": _dense(sd, f"{base}.attn.qkv2"),
+            "proj": _dense(sd, f"{base}.attn.proj"),
+            "relative_position_bias_table": sd[
+                f"{base}.attn.relative_position_bias_table"
+            ].astype(np.float32),
+        },
+        "Dense_0": _dense(sd, f"{base}.mlp.fc1"),
+        "Dense_1": _dense(sd, f"{base}.mlp.fc2"),
+    }
+
+
+def _spatial_aligner(sd, base):
+    """master.py:708-742 Spatial_aligner: 2 patch embeds, 2 Swin cross
+    blocks (regular + shifted), transposed-conv recovery."""
+    rw = sd[f"{base}.recovery.weight"]
+    return {
+        "patch_embed1": _wb(sd, f"{base}.patch_embeding1.proj"),
+        "patch_embed2": _wb(sd, f"{base}.patch_embeding2.proj"),
+        "block_0": _swin_block(sd, f"{base}.blocks.0"),
+        "block_1": _swin_block(sd, f"{base}.blocks.1"),
+        "recovery": {"Conv_0": {
+            "kernel": _deconv_kernel(rw),
+            "bias": sd[f"{base}.recovery.bias"].astype(np.float32),
+        }},
+    }
+
+
+def _import_guided(sd):
+    """Guided_compresser (master.py:1167-1464): mbt2018 machinery with the
+    hidden-tap Encoder1/Decoder1 (named conv/gdn fields) instead of the
+    unused inherited g_a/g_s Sequentials."""
+    def dcv(base):
+        w = sd[f"{base}.weight"]
+        return {"Conv_0": {
+            "kernel": _deconv_kernel(w),
+            "bias": sd[f"{base}.bias"].astype(np.float32),
+        }}
+
+    p = {
+        "entropy_bottleneck": _entropy_bottleneck(sd),
+        "g_a_net": {
+            **{f"Conv_{i}": {"Conv_0": _wb(sd, f"enc1.g_a_conv{i + 1}")}
+               for i in range(4)},
+            **{f"GDN_{i}": _gdn(sd, f"enc1.g_a_gdn{i + 1}")
+               for i in range(3)},
+        },
+        "g_s_net": {
+            **{f"Deconv_{i}": dcv(f"dec1.g_s_conv{i + 1}")
+               for i in range(4)},
+            **{f"GDN_{i}": _gdn(sd, f"dec1.g_s_gdn{i + 1}")
+               for i in range(3)},
+        },
+        "h_a_net": _seq_to_layers(sd, "h_a"),
+        "h_s_net": _seq_to_layers(sd, "h_s", deconv_indices=(0, 2)),
+        "entropy_parameters_net": _seq_to_layers(sd, "entropy_parameters"),
+        "context_prediction": {
+            "kernel": _conv_kernel(sd["context_prediction.weight"]),
+            "bias": sd["context_prediction.bias"].astype(np.float32),
+        },
+    }
+    return p
+
+
+def _import_master(sd):
+    """Master_compresser (master.py:839-1161)."""
+    def dcv(base):
+        w = sd[f"{base}.weight"]
+        return {"Conv_0": {
+            "kernel": _deconv_kernel(w),
+            "bias": sd[f"{base}.bias"].astype(np.float32),
+        }}
+
+    g_s = {
+        **{f"Deconv_{i}": dcv(f"decoder.g_s_conv{i + 1}") for i in range(4)},
+        **{f"GDN_{i}": _gdn(sd, f"decoder.g_s_gdn{i + 1}") for i in range(3)},
+        **{f"sp_aligner{i + 1}": _spatial_aligner(
+            sd, f"decoder.sp_aligner{i + 1}") for i in range(3)},
+    }
+    # guide-hidden downsample convs exist only in the channel=1 geometry
+    # (guide at 2x master resolution); checked against the checkpoint
+    if "decoder.downsample1.weight" in sd:
+        g_s.update({
+            f"Conv_{i}": {"Conv_0": _wb(sd, f"decoder.downsample{i + 1}")}
+            for i in range(3)
+        })
+    return {
+        "entropy_bottleneck": _entropy_bottleneck(sd),
+        "fencoder1": _feature_encoder(sd, "fencoder1"),
+        "fencoder2": _feature_encoder(sd, "fencoder2"),
+        "fdecoder": _feature_decoder(sd, "fdecoder"),
+        "ch_aligner": _channel_aligner(sd),
+        "g_a_net": _seq_to_layers(sd, "g_a"),
+        "g_s_net": g_s,
+        "h_a_net": _seq_to_layers(sd, "h_a"),
+        "h_s_net": _seq_to_layers(sd, "h_s", deconv_indices=(0, 2)),
+        "entropy_parameters_net": _seq_to_layers(sd, "entropy_parameters"),
+        "context_prediction": {
+            "kernel": _conv_kernel(sd["context_prediction.weight"]),
+            "bias": sd["context_prediction.bias"].astype(np.float32),
+        },
+    }
+
+
+_IMPORTERS["guided"] = _import_guided
+_IMPORTERS["master"] = _import_master

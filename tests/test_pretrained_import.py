@@ -154,3 +154,96 @@ def test_rename_reference_keys():
         "entropy_bottleneck._factor10": 4,
         "g_s.1.beta": 5,
     }
+
+
+def test_ssf2020_forward_parity():
+    """Video model parity across a 3-frame GOP: exercises keyframe coding,
+    motion/residual hyperpriors, the gaussian scale-space volume, and the
+    trilinear warp against torch grid_sample."""
+    import torch
+
+    from lmic_tpu import zoo
+    from lmic_tpu.zoo.pretrained import import_reference_state_dict
+
+    from compressai.models.video.google import ScaleSpaceFlow
+
+    torch.manual_seed(0)
+    ref = ScaleSpaceFlow()
+    ref.eval()
+    frames = [torch.rand(1, 3, 128, 128) for _ in range(3)]
+    with torch.no_grad():
+        out_ref = ref(frames)
+
+    codec = zoo.create_video_model(
+        "ssf2020", key=jax.random.key(0), input_size=(128, 128)
+    )
+    variables = import_reference_state_dict(
+        "ssf2020", ref.state_dict(), codec.variables
+    )
+    fj = np.stack(
+        [np.transpose(f.numpy(), (0, 2, 3, 1)) for f in frames], axis=1
+    )
+    out = codec.module.apply(variables, fj, training=False)
+    for i in range(3):
+        xr = np.transpose(out_ref["x_hat"][i].numpy(), (0, 2, 3, 1))
+        np.testing.assert_allclose(
+            np.asarray(out["x_hat"][:, i]), xr, atol=1e-5
+        )
+
+
+def test_rgbt_guided_master_parity():
+    """The paper's RGB-T pair end-to-end: guided forward (with hidden taps)
+    feeds the master's Swin-cross-attention decoder; both must match the
+    reference float-for-float, including the reference Spatial_aligner's
+    raw-view token-to-spatial reinterpretation (master.py:739)."""
+    import torch
+
+    from lmic_tpu import zoo
+    from lmic_tpu.zoo.pretrained import import_reference_state_dict
+
+    from compressai.models.master import Guided_compresser, Master_compresser
+
+    torch.manual_seed(0)
+    g_ref = Guided_compresser(channel=3)
+    g_ref.eval()
+    m_ref = Master_compresser(width=128, height=128, channel=1)
+    m_ref.eval()
+    xg = torch.rand(1, 3, 256, 256)
+    xm = torch.rand(1, 1, 128, 128)
+    with torch.no_grad():
+        g_out = g_ref(xg)
+        m_out = m_ref(xm, g_out["x_hat"], g_out["hidden"])
+
+    def t(a):
+        return np.transpose(a.detach().numpy(), (0, 2, 3, 1))
+
+    gc = zoo.create_model(
+        "guided", 1, key=jax.random.key(0), input_size=(256, 256), channel=3
+    )
+    gv = import_reference_state_dict(
+        "guided", g_ref.state_dict(), gc.variables
+    )
+    ours_g = gc.module.apply(gv, t(xg), training=False)
+    np.testing.assert_allclose(
+        np.asarray(ours_g["x_hat"]), t(g_out["x_hat"]), atol=5e-6
+    )
+    for name in ("ga1", "ga2", "ga3", "gs1", "gs2", "gs3"):
+        np.testing.assert_allclose(
+            np.asarray(ours_g["hidden"][name]), t(g_out["hidden"][name]),
+            atol=5e-6,
+        )
+
+    mc = zoo.create_model(
+        "master", 1, key=jax.random.key(0), input_size=(128, 128), channel=1
+    )
+    mv = import_reference_state_dict(
+        "master", m_ref.state_dict(), mc.variables
+    )
+    hidden = {k: t(v) for k, v in g_out["hidden"].items()
+              if k.startswith("gs")}
+    ours_m = mc.module.apply(
+        mv, t(xm), t(g_out["x_hat"]), hidden, training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_m["x_hat"]), t(m_out["x_hat"]), atol=5e-6
+    )
