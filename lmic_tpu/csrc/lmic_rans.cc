@@ -310,6 +310,72 @@ int64_t lmic_rans_decode_with_indexes(
   return n;
 }
 
+// Build a coarse cum->slot lookup table: lut[row * 256 + (cum >> 8)] is the
+// slot containing the bucket's first cum value; decode starts there and
+// scans forward. 256 entries/row keeps the whole table L1/L2-resident
+// (a full 2^16-entry LUT measures ~2x SLOWER than binary search — it
+// DRAM-misses on nearly every symbol).
+constexpr uint32_t kLutShift = 8;
+constexpr int64_t kLutSpan = int64_t(1) << (kPrecision - kLutShift);
+
+void lmic_rans_build_lut(const int32_t *cdfs, int64_t cdf_stride,
+                         const int32_t *cdfs_sizes, int64_t rows,
+                         uint16_t *lut) {
+  for (int64_t r = 0; r < rows; ++r) {
+    const int32_t *cdf = cdfs + r * cdf_stride;
+    uint16_t *row = lut + r * kLutSpan;
+    const int32_t nslots = cdfs_sizes[r] - 1;
+    int32_t s = 0;
+    for (int64_t b = 0; b < kLutSpan; ++b) {
+      const int32_t cum = static_cast<int32_t>(b << kLutShift);
+      while (s + 1 < nslots && cdf[s + 1] <= cum) ++s;
+      row[b] = static_cast<uint16_t>(s);
+    }
+  }
+}
+
+// LUT-accelerated one-shot decode (same stream format as
+// lmic_rans_decode_with_indexes).
+int64_t lmic_rans_decode_with_indexes_lut(
+    const uint8_t *stream, int64_t nbytes, const int32_t *indexes, int64_t n,
+    const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdfs_sizes,
+    const int32_t *offsets, const uint16_t *lut, int32_t *out_symbols) {
+  (void)nbytes;
+  Dec dec;
+  dec.init(reinterpret_cast<const uint32_t *>(stream));
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const int32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t max_value = cdfs_sizes[idx] - 2;
+    const uint32_t cum = dec.peek();
+    int32_t s = lut[idx * kLutSpan + (cum >> kLutShift)];
+    while (static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+    dec.advance(static_cast<uint32_t>(cdf[s]),
+                static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+    int32_t value = s;
+    if (value == max_value) {
+      uint32_t val = dec.get_bits(kBypassPrecision);
+      uint32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = dec.get_bits(kBypassPrecision);
+        n_bypass += val;
+      }
+      uint32_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= dec.get_bits(kBypassPrecision) << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    out_symbols[i] = value + offsets[idx];
+  }
+  return n;
+}
+
 // ---- Buffered encoder (chunked, autoregressive encode) ----
 
 void *lmic_rans_encoder_new() { return new BufferedEncoder(); }
@@ -350,6 +416,46 @@ int64_t lmic_rans_decoder_decode(void *handle, const int32_t *indexes,
     const int32_t idx = indexes[i];
     out[i] = decode_one(sd->dec, cdfs + idx * cdf_stride, cdfs_sizes[idx],
                         offsets[idx]);
+  }
+  return n;
+}
+
+// LUT-accelerated streaming decode (see lmic_rans_build_lut).
+int64_t lmic_rans_decoder_decode_lut(
+    void *handle, const int32_t *indexes, int64_t n, const int32_t *cdfs,
+    int64_t cdf_stride, const int32_t *cdfs_sizes, const int32_t *offsets,
+    const uint16_t *lut, int32_t *out) {
+  auto *sd = static_cast<StreamDecoder *>(handle);
+  Dec &dec = sd->dec;
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const int32_t *cdf = cdfs + idx * cdf_stride;
+    const int32_t max_value = cdfs_sizes[idx] - 2;
+    const uint32_t cum = dec.peek();
+    int32_t s = lut[idx * kLutSpan + (cum >> kLutShift)];
+    while (static_cast<uint32_t>(cdf[s + 1]) <= cum) ++s;
+    dec.advance(static_cast<uint32_t>(cdf[s]),
+                static_cast<uint32_t>(cdf[s + 1] - cdf[s]));
+    int32_t value = s;
+    if (value == max_value) {
+      uint32_t val = dec.get_bits(kBypassPrecision);
+      uint32_t n_bypass = val;
+      while (val == kMaxBypassVal) {
+        val = dec.get_bits(kBypassPrecision);
+        n_bypass += val;
+      }
+      uint32_t raw_val = 0;
+      for (uint32_t j = 0; j < n_bypass; ++j) {
+        raw_val |= dec.get_bits(kBypassPrecision) << (j * kBypassPrecision);
+      }
+      value = static_cast<int32_t>(raw_val >> 1);
+      if (raw_val & 1) {
+        value = -value - 1;
+      } else {
+        value += max_value;
+      }
+    }
+    out[i] = value + offsets[idx];
   }
   return n;
 }

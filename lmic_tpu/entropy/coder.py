@@ -73,6 +73,20 @@ def _load():
             _i32p, _i32p, _i32p,
         ]
         lib_h.lmic_rans_decoder_free.argtypes = [ctypes.c_void_p]
+        _u16p = ctypes.POINTER(ctypes.c_uint16)
+        lib_h.lmic_rans_build_lut.argtypes = [
+            _i32p, ctypes.c_int64, _i32p, ctypes.c_int64, _u16p,
+        ]
+        lib_h.lmic_rans_decode_with_indexes_lut.restype = ctypes.c_int64
+        lib_h.lmic_rans_decode_with_indexes_lut.argtypes = [
+            _u8p, ctypes.c_int64, _i32p, ctypes.c_int64, _i32p,
+            ctypes.c_int64, _i32p, _i32p, _u16p, _i32p,
+        ]
+        lib_h.lmic_rans_decoder_decode_lut.restype = ctypes.c_int64
+        lib_h.lmic_rans_decoder_decode_lut.argtypes = [
+            ctypes.c_void_p, _i32p, ctypes.c_int64, _i32p, ctypes.c_int64,
+            _i32p, _i32p, _u16p, _i32p,
+        ]
         _lib = lib_h
     return _lib
 
@@ -94,7 +108,7 @@ class CdfTable:
     buffers of the reference (entropy_models.py:129-131).
     """
 
-    __slots__ = ("cdf", "cdf_length", "offset")
+    __slots__ = ("cdf", "cdf_length", "offset", "_lut")
 
     def __init__(self, cdf, cdf_length, offset):
         self.cdf = _as_i32(cdf).reshape(np.asarray(cdf).shape)
@@ -108,6 +122,27 @@ class CdfTable:
     @property
     def stride(self) -> int:
         return self.cdf.shape[1]
+
+    _LUT_SPAN = 1 << 8  # coarse buckets of cum >> 8; see lmic_rans.cc
+
+    def lut(self):
+        """Lazy coarse cum->slot table (256 uint16 buckets per row): gives
+        the decoder a near-exact starting slot so the per-symbol search is
+        a 1-2 step forward scan instead of a binary search. Small enough
+        (rows*512 B) to stay cache-resident."""
+        cached = getattr(self, "_lut", None)
+        if cached is not None:
+            return cached if cached is not False else None
+        rows = self.cdf.shape[0]
+        lib = _load()
+        lut = np.empty((rows, self._LUT_SPAN), dtype=np.uint16)
+        lib.lmic_rans_build_lut(
+            _i32_ptr(self.cdf.reshape(-1)), self.stride,
+            _i32_ptr(self.cdf_length), rows,
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        )
+        self._lut = lut
+        return lut
 
 
 def encode_with_indexes(symbols, indexes, table: CdfTable) -> bytes:
@@ -137,6 +172,16 @@ def decode_with_indexes(stream: bytes, indexes, table: CdfTable) -> np.ndarray:
     n = indexes.size
     out = np.empty(n, dtype=np.int32)
     buf = np.frombuffer(stream, dtype=np.uint8)
+    lut = table.lut()
+    if lut is not None:
+        lib.lmic_rans_decode_with_indexes_lut(
+            buf.ctypes.data_as(_u8p), buf.size, _i32_ptr(indexes), n,
+            _i32_ptr(table.cdf), table.stride,
+            _i32_ptr(table.cdf_length), _i32_ptr(table.offset),
+            lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+            out.ctypes.data_as(_i32p),
+        )
+        return out
     lib.lmic_rans_decode_with_indexes(
         buf.ctypes.data_as(_u8p), buf.size, _i32_ptr(indexes), n,
         _i32_ptr(table.cdf), table.stride,
@@ -204,6 +249,16 @@ class RansDecoder:
             raise RuntimeError("set_stream() first")
         indexes = _as_i32(indexes)
         out = np.empty(indexes.size, dtype=np.int32)
+        lut = table.lut()
+        if lut is not None:
+            self._lib.lmic_rans_decoder_decode_lut(
+                self._handle, _i32_ptr(indexes), indexes.size,
+                _i32_ptr(table.cdf), table.stride,
+                _i32_ptr(table.cdf_length), _i32_ptr(table.offset),
+                lut.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                out.ctypes.data_as(_i32p),
+            )
+            return out
         self._lib.lmic_rans_decoder_decode(
             self._handle, _i32_ptr(indexes), indexes.size,
             _i32_ptr(table.cdf), table.stride,
@@ -220,3 +275,76 @@ class RansDecoder:
         if getattr(self, "_handle", None):
             self._lib.lmic_rans_decoder_free(self._handle)
             self._handle = None
+
+
+# ---------------------------------------------------------------------------
+# Threaded batch API
+# ---------------------------------------------------------------------------
+#
+# ctypes calls release the GIL, so coding a batch of independent images on a
+# thread pool gives true parallelism on the host cores — the reference codes
+# batch items serially (entropy_models.py:262-268). The pool is shared and
+# lazily built; size follows the host core count.
+
+_POOL = None
+_POOL_LOCK = threading.Lock()
+
+
+def _pool():
+    global _POOL
+    if _POOL is None:
+        with _POOL_LOCK:
+            if _POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                _POOL = ThreadPoolExecutor(
+                    max_workers=min(16, os.cpu_count() or 1),
+                    thread_name_prefix="lmic-rans",
+                )
+    return _POOL
+
+
+def encode_batch(symbols, indexes, table: CdfTable):
+    """Encode a batch: symbols (B, ...) int array -> list of B byte strings.
+    `indexes` either has the same leading batch dim or is shared across the
+    batch (one fewer dim)."""
+    symbols = np.asarray(symbols)
+    indexes = np.asarray(indexes)
+    shared = indexes.ndim < symbols.ndim
+    B = symbols.shape[0]
+    sym = np.ascontiguousarray(symbols.reshape(B, -1), dtype=np.int32)
+    if shared:
+        idx = np.ascontiguousarray(indexes.reshape(-1), dtype=np.int32)
+        idx_rows = [idx] * B
+    else:
+        idx2 = np.ascontiguousarray(
+            indexes.reshape(B, -1), dtype=np.int32
+        )
+        idx_rows = [idx2[i] for i in range(B)]
+    def one(i):
+        return encode_with_indexes(sym[i], idx_rows[i], table)
+
+    if B == 1 or (os.cpu_count() or 1) <= 1:
+        return [one(i) for i in range(B)]
+    return list(_pool().map(one, range(B)))
+
+
+def decode_batch(streams, indexes, table: CdfTable) -> np.ndarray:
+    """Decode a batch of independent streams against shared (1-D) or
+    per-item (2-D) indexes. Returns (B, n) int32."""
+    indexes = np.asarray(indexes)
+    per_item = indexes.ndim == 2
+    idx = np.ascontiguousarray(indexes, dtype=np.int32)
+    if len(streams) == 1:
+        return decode_with_indexes(
+            streams[0], idx[0] if per_item else idx, table
+        )[None]
+
+    def one(i):
+        return decode_with_indexes(
+            streams[i], idx[i] if per_item else idx, table
+        )
+
+    if (os.cpu_count() or 1) <= 1:
+        return np.stack([one(i) for i in range(len(streams))])
+    return np.stack(list(_pool().map(one, range(len(streams)))))

@@ -249,12 +249,9 @@ class EBState:
         medians = self.medians.reshape(1, C, 1)
         symbols = np.round(flat - medians).astype(np.int32)
         indexes = np.broadcast_to(
-            np.arange(C, dtype=np.int32)[None, :, None], symbols.shape
+            np.arange(C, dtype=np.int32)[:, None], symbols.shape[1:]
         )
-        return [
-            coder.encode_with_indexes(symbols[i], indexes[i], self.table)
-            for i in range(B)
-        ]
+        return coder.encode_batch(symbols, indexes, self.table)
 
     def decompress(self, strings, spatial_shape) -> np.ndarray:
         """Inverse of compress: returns (B, *spatial_shape, C) float32."""
@@ -263,12 +260,7 @@ class EBState:
         C = len(self.medians)
         n = int(np.prod(spatial_shape))
         indexes = np.repeat(np.arange(C, dtype=np.int32), n)
-        out = np.stack(
-            [
-                coder.decode_with_indexes(s, indexes, self.table)
-                for s in strings
-            ]
-        )
+        out = coder.decode_batch(strings, indexes, self.table)
         out = out.reshape(len(strings), C, *spatial_shape).astype(np.float32)
         out += self.medians.reshape(1, C, *([1] * len(spatial_shape)))
         return np.moveaxis(out, 1, -1)
@@ -393,25 +385,19 @@ class GCState:
         if means is not None:
             inputs = inputs - np.asarray(means)
         symbols = np.round(inputs).astype(np.int32)
-        return [
-            coder.encode_with_indexes(
-                symbols[i].reshape(-1), indexes[i].reshape(-1), self.table
-            )
-            for i in range(symbols.shape[0])
-        ]
+        B = symbols.shape[0]
+        return coder.encode_batch(
+            symbols.reshape(B, -1), indexes.reshape(B, -1), self.table
+        )
 
     def decompress(self, strings, indexes, means=None) -> np.ndarray:
         from lmic_tpu.entropy import coder
 
         indexes = np.asarray(indexes)
-        out = np.stack(
-            [
-                coder.decode_with_indexes(
-                    s, indexes[i].reshape(-1), self.table
-                ).reshape(indexes[i].shape)
-                for i, s in enumerate(strings)
-            ]
-        ).astype(np.float32)
+        B = indexes.shape[0]
+        out = coder.decode_batch(
+            strings, indexes.reshape(B, -1), self.table
+        ).reshape(indexes.shape).astype(np.float32)
         if means is not None:
             out = out + np.asarray(means)
         return out

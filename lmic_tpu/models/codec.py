@@ -129,17 +129,14 @@ class FactorizedPriorCodec(CompressionCodec):
             sym = np.asarray(self._enc_u8(jnp.asarray(x)), dtype=np.int32)
             B, C = sym.shape[:2]
             indexes = np.broadcast_to(
-                np.arange(C, dtype=np.int32)[None, :, None],
-                (B, C, sym.shape[2] * sym.shape[3]),
+                np.arange(C, dtype=np.int32)[:, None],
+                (C, sym.shape[2] * sym.shape[3]),
             )
             from lmic_tpu.entropy import coder as _rans
 
-            y_strings = [
-                _rans.encode_with_indexes(
-                    sym[i], indexes[i], self.eb_state.table
-                )
-                for i in range(B)
-            ]
+            y_strings = _rans.encode_batch(
+                sym.reshape(B, -1), indexes.reshape(-1), self.eb_state.table
+            )
             return {"strings": [y_strings], "shape": sym.shape[2:4]}
         y = np.asarray(self._g_a(jnp.asarray(x)))
         y_strings = self.eb_state.compress(y)
@@ -156,14 +153,9 @@ class FactorizedPriorCodec(CompressionCodec):
             C = len(self.eb_state.medians)
             H, W = shape
             indexes = np.repeat(np.arange(C, dtype=np.int32), H * W)
-            sym = np.stack(
-                [
-                    _rans.decode_with_indexes(
-                        s, indexes, self.eb_state.table
-                    ).reshape(C, H, W)
-                    for s in strings[0]
-                ]
-            ).astype(np.int16)
+            sym = _rans.decode_batch(
+                strings[0], indexes, self.eb_state.table
+            ).reshape(len(strings[0]), C, H, W).astype(np.int16)
             x_u8 = np.asarray(self._dec_u8(jnp.asarray(sym)))
             return {"x_hat": x_u8}
         y_hat = self.eb_state.decompress(strings[0], tuple(shape))
@@ -248,12 +240,12 @@ class HyperpriorCodec(CompressionCodec):
         symbols = np.round(y - means if means is not None else y).astype(
             np.int32
         )
-        y_strings = [
-            rans.encode_with_indexes(
-                symbols[i], indexes[i], self.gc_state.table
-            )
-            for i in range(symbols.shape[0])
-        ]
+        B = symbols.shape[0]
+        y_strings = rans.encode_batch(
+            symbols.reshape(B, -1),
+            np.asarray(indexes).reshape(B, -1),
+            self.gc_state.table,
+        )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
     def decompress(self, strings, shape):
@@ -265,14 +257,11 @@ class HyperpriorCodec(CompressionCodec):
         indexes, means = jax.device_get(
             self._dec_params(jnp.asarray(z_hat), table)
         )
-        symbols = np.stack(
-            [
-                rans.decode_with_indexes(
-                    s, indexes[i].reshape(-1), self.gc_state.table
-                ).reshape(indexes[i].shape)
-                for i, s in enumerate(y_strings)
-            ]
-        )
+        indexes = np.asarray(indexes)
+        symbols = rans.decode_batch(
+            y_strings, indexes.reshape(indexes.shape[0], -1),
+            self.gc_state.table,
+        ).reshape(indexes.shape)
         x_hat = np.asarray(
             self._dec_synth(
                 jnp.asarray(symbols),
