@@ -146,16 +146,10 @@ class GDN(nn.Module):
         )
         beta = beta_reparam(beta)
         gamma = gamma_reparam(gamma)  # (C_out, C_in) like the reference
-        norm = (
-            jnp.einsum(
-                "...i,oi->...o", jnp.square(x), gamma,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            + beta
-        )
-        if self.inverse:
-            return x * jnp.sqrt(norm)
-        return x * jax.lax.rsqrt(norm)
+        # fused matmul + rsqrt epilogue (Pallas on TPU, jnp elsewhere)
+        from lmic_tpu.ops.pallas_gdn import gdn_core
+
+        return gdn_core(x, beta, gamma, self.inverse)
 
 
 class GDN1(nn.Module):

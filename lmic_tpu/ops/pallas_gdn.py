@@ -1,0 +1,144 @@
+"""Fused GDN/IGDN Pallas TPU kernel.
+
+GDN (reference layers/gdn.py:41-92) is `y = x / sqrt(beta + x^2 @ gamma^T)`
+(inverse: `* sqrt`). Layered jnp ops materialize x^2 and the norm in HBM
+between the square, the (C, C) matmul, and the rsqrt-multiply; this kernel
+streams a (TILE_N, C) tile of activations through VMEM once, runs the
+channel-mixing matmul on the MXU, and applies the rsqrt epilogue in
+registers — one HBM read + one HBM write per activation element.
+
+`gdn_core(x, beta, gamma, inverse)` takes POST-reparametrization beta/gamma
+(the NonNegativeParametrizer stays ordinary JAX so its custom gradients are
+untouched) and carries a custom VJP. The backward pass is plain jnp (XLA
+fuses it well and it runs once per training step, not in the codec path).
+
+Dispatch: the Pallas kernel runs on TPU backends; elsewhere (CPU tests,
+debugging) the mathematically identical jnp path is used. Set
+LMIC_PALLAS=interpret to force the kernel through the Pallas interpreter
+for correctness tests on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+TILE_N = 256
+
+
+def _gdn_jnp(x, beta, gamma, inverse: bool):
+    norm = (
+        jnp.einsum(
+            "...i,oi->...o", jnp.square(x), gamma,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + beta
+    )
+    if inverse:
+        return x * jnp.sqrt(norm)
+    return x * jax.lax.rsqrt(norm)
+
+
+def _kernel(x_ref, gamma_t_ref, beta_ref, out_ref, *, inverse: bool):
+    x = x_ref[:]
+    norm = (
+        jnp.dot(
+            x * x, gamma_t_ref[:], preferred_element_type=jnp.float32
+        )
+        + beta_ref[:]
+    )
+    if inverse:
+        out_ref[:] = x * jnp.sqrt(norm)
+    else:
+        out_ref[:] = x * jax.lax.rsqrt(norm)
+
+
+def _gdn_pallas(x2d, beta, gamma, inverse: bool, interpret: bool):
+    n, C = x2d.shape
+    grid = (pl.cdiv(n, TILE_N),)
+    kernel = functools.partial(_kernel, inverse=inverse)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, C), x2d.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_N, C), lambda i: (i, 0)),
+            pl.BlockSpec((C, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE_N, C), lambda i: (i, 0)),
+        interpret=interpret,
+    )(x2d, gamma.T, beta.reshape(1, C))
+
+
+def _use_pallas() -> str:
+    """'' = jnp path, 'compile' = real kernel, 'interpret' = interpreter."""
+    mode = os.environ.get("LMIC_PALLAS", "auto")
+    if mode == "0":
+        return ""
+    if mode == "interpret":
+        return "interpret"
+    if jax.default_backend() == "tpu":
+        return "compile"
+    return ""
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gdn_core(x, beta, gamma, inverse: bool = False):
+    """y_i = x_i * (beta_i + sum_j gamma_ij x_j^2)^(-1/2 or +1/2).
+
+    x: (..., C); beta: (C,); gamma: (C_out, C_in), all post-reparam.
+    """
+    mode = _use_pallas()
+    if not mode or x.dtype != jnp.float32:
+        return _gdn_jnp(x, beta, gamma, inverse)
+    shape = x.shape
+    C = shape[-1]
+    y = _gdn_pallas(
+        x.reshape(-1, C), beta, gamma, inverse,
+        interpret=(mode == "interpret"),
+    )
+    return y.reshape(shape)
+
+
+def _gdn_fwd(x, beta, gamma, inverse):
+    return gdn_core(x, beta, gamma, inverse), (x, beta, gamma)
+
+
+def _gdn_bwd(inverse, res, g):
+    x, beta, gamma = res
+    norm = (
+        jnp.einsum(
+            "...i,oi->...o", jnp.square(x), gamma,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + beta
+    )
+    if inverse:
+        # y = x * n^(1/2);  dL/dn_j = g_j x_j (1/2) n_j^(-1/2)
+        dn = 0.5 * g * x * jax.lax.rsqrt(norm)
+        dx = g * jnp.sqrt(norm) + 2.0 * x * jnp.einsum(
+            "...j,ji->...i", dn, gamma,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    else:
+        # y = x * n^(-1/2);  dL/dn_j = -g_j x_j (1/2) n_j^(-3/2)
+        dn = -0.5 * g * x * norm ** -1.5
+        dx = g * jax.lax.rsqrt(norm) + 2.0 * x * jnp.einsum(
+            "...j,ji->...i", dn, gamma,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    dbeta = dn.reshape(-1, x.shape[-1]).sum(0)
+    x2 = jnp.square(x).reshape(-1, x.shape[-1])
+    dgamma = jnp.einsum(
+        "no,ni->oi", dn.reshape(-1, x.shape[-1]), x2,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return dx, dbeta, dgamma
+
+
+gdn_core.defvjp(_gdn_fwd, _gdn_bwd)
