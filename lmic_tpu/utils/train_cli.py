@@ -256,10 +256,19 @@ def train_master(args):
 
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
-    if args.arch == "master":
-        train_master(args)
-    else:
-        train_single(args)
+    try:
+        if args.arch == "master":
+            train_master(args)
+        else:
+            train_single(args)
+    except Exception:
+        # long training runs should leave a postmortem trail
+        # (reference examples/train.py:481-491)
+        import traceback
+
+        with open("error.log", "a") as f:
+            f.write(traceback.format_exc() + "\n")
+        raise
 
 
 if __name__ == "__main__":
