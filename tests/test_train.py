@@ -125,3 +125,28 @@ class TestDataParallel:
         np.testing.assert_allclose(
             float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-5
         )
+
+
+class TestBF16:
+    def test_bf16_matmul_precision_step_runs(self):
+        import jax
+        import jax.numpy as jnp
+
+        from lmic_tpu.models.image import FactorizedPrior
+        from lmic_tpu.utils.train import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        module = FactorizedPrior(N=16, M=24)
+        x = jnp.zeros((2, 64, 64, 3))
+        v = module.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+        )
+        opt = make_optimizer()
+        state = create_train_state(v["params"], opt)
+        step = make_train_step(module, opt, lmbda=1024,
+                               matmul_precision="bfloat16")
+        state, metrics = step(state, x, jax.random.key(2))
+        assert jnp.isfinite(metrics["loss"])
