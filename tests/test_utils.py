@@ -174,3 +174,24 @@ class TestCodecContainer:
         assert arch == "bmshj2018-factorized" and q == 1
         rec = np.asarray(Image.open(out_path))
         assert rec.shape == (96, 80, 3)
+
+
+class TestProfiling:
+    def test_timings_sections(self):
+        import jax.numpy as jnp
+
+        from lmic_tpu.utils.profiling import Timings, timed
+
+        t = Timings()
+        with t.section("a"):
+            pass
+        with t.section("a"):
+            pass
+        with t.section("b", sync=jnp.ones(4)):
+            pass
+        rep = t.report()
+        assert rep["a"]["count"] == 2 and rep["b"]["count"] == 1
+        assert "a" in str(t)
+
+        out, dt = timed(jnp.sum, jnp.ones(16))
+        assert float(out) == 16.0 and dt >= 0
