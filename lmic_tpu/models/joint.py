@@ -182,6 +182,18 @@ def make_wavefront_step(module, variables, H: int, W: int, scale_table):
     return step
 
 
+def _scatter_wavefront(y_hat_pad, w_safe, valid, y_vals):
+    """Write one wavefront's (H, M) values into the padded buffer with a
+    single batched scatter (rows are distinct, so no conflicts). Invalid
+    rows keep the buffer's current contents."""
+    H = w_safe.shape[0]
+    rows = jnp.arange(H) + PAD
+    cols = w_safe + PAD
+    cur = y_hat_pad[rows, cols]  # (H, M) gather
+    new = jnp.where(valid[:, None], y_vals, cur)
+    return y_hat_pad.at[rows, cols].set(new)
+
+
 class JointARCodec(CompressionCodec):
     """Codec wrapper for mbt2018 (and subclasses sharing its entropy path)."""
 
@@ -248,17 +260,9 @@ class JointARCodec(CompressionCodec):
             symbols = jnp.round(y_rows - means).astype(jnp.int32)
             y_vals = symbols.astype(jnp.float32) + means
 
-            def one(i, b):
-                cur = jax.lax.dynamic_slice(
-                    b, (i + PAD, w_safe[i] + PAD, 0), (1, 1, M)
-                )
-                new = jnp.where(valid[i], y_vals[i].reshape(1, 1, M), cur)
-                return jax.lax.dynamic_update_slice(
-                    b, new, (i + PAD, w_safe[i] + PAD, 0)
-                )
-
-            y_hat_pad = jax.lax.fori_loop(0, H, one, y_hat_pad)
-            carry["y_hat"] = y_hat_pad
+            carry["y_hat"] = _scatter_wavefront(
+                y_hat_pad, w_safe, valid, y_vals
+            )
             return carry, (symbols, indexes, valid)
 
         def run(y, params):
@@ -345,17 +349,9 @@ class JointARCodec(CompressionCodec):
             )
             y_vals = symbols.astype(jnp.float32) + means
 
-            def one(i, b):
-                cur = jax.lax.dynamic_slice(
-                    b, (i + PAD, w_safe[i] + PAD, 0), (1, 1, M)
-                )
-                new = jnp.where(valid[i], y_vals[i].reshape(1, 1, M), cur)
-                return jax.lax.dynamic_update_slice(
-                    b, new, (i + PAD, w_safe[i] + PAD, 0)
-                )
-
-            y_hat_pad = jax.lax.fori_loop(0, H, one, y_hat_pad)
-            carry["y_hat"] = y_hat_pad
+            carry["y_hat"] = _scatter_wavefront(
+                y_hat_pad, w_safe, valid, y_vals
+            )
             return carry, None
 
         def run(params):
