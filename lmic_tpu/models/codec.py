@@ -119,6 +119,37 @@ class FactorizedPriorCodec(CompressionCodec):
         self._enc_u8 = jax.jit(enc)
         self._dec_u8 = jax.jit(dec)
 
+    def compress_async(self, x):
+        """Dispatch the device half of compress and return a finalizer.
+
+        JAX dispatch is asynchronous: the device pass (and the transfer
+        back) runs while the host does other work — e.g. entropy-coding the
+        PREVIOUS batch. `finalize()` blocks on the symbols and runs the
+        host coder. uint8 fast path only.
+        """
+        self._check_updated()
+        x = np.asarray(x)
+        assert x.dtype == np.uint8, "compress_async: uint8 fast path only"
+        if not hasattr(self, "_enc_u8"):
+            self._build_u8_fns()
+        sym_dev = self._enc_u8(jnp.asarray(x))  # async dispatch
+
+        def finalize():
+            sym = np.asarray(sym_dev, dtype=np.int32)
+            B, C = sym.shape[:2]
+            indexes = np.broadcast_to(
+                np.arange(C, dtype=np.int32)[:, None],
+                (C, sym.shape[2] * sym.shape[3]),
+            )
+            from lmic_tpu.entropy import coder as _rans
+
+            y_strings = _rans.encode_batch(
+                sym.reshape(B, -1), indexes.reshape(-1), self.eb_state.table
+            )
+            return {"strings": [y_strings], "shape": sym.shape[2:4]}
+
+        return finalize
+
     def compress(self, x):
         """x: (B, H, W, C) float in [0,1] or uint8 (fast path)."""
         self._check_updated()
@@ -141,6 +172,29 @@ class FactorizedPriorCodec(CompressionCodec):
         y = np.asarray(self._g_a(jnp.asarray(x)))
         y_strings = self.eb_state.compress(y)
         return {"strings": [y_strings], "shape": y.shape[1:3]}
+
+    def decompress_async(self, strings, shape):
+        """Host-decode symbols, dispatch the device synthesis, and return a
+        finalizer producing the uint8 reconstruction. While `finalize()` of
+        one batch blocks on the device, the host can already be decoding the
+        next batch's symbols."""
+        self._check_updated()
+        if not hasattr(self, "_enc_u8"):
+            self._build_u8_fns()
+        from lmic_tpu.entropy import coder as _rans
+
+        C = len(self.eb_state.medians)
+        H, W = shape
+        indexes = np.repeat(np.arange(C, dtype=np.int32), H * W)
+        sym = _rans.decode_batch(
+            strings[0], indexes, self.eb_state.table
+        ).reshape(len(strings[0]), C, H, W).astype(np.int16)
+        x_dev = self._dec_u8(jnp.asarray(sym))  # async dispatch
+
+        def finalize():
+            return {"x_hat": np.asarray(x_dev)}
+
+        return finalize
 
     def decompress(self, strings, shape, u8: bool = False):
         self._check_updated()

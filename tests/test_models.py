@@ -111,3 +111,27 @@ class TestZoo:
         x = jnp.zeros((1, 64, 64, 3))
         out = codec(x, training=False)
         assert out["x_hat"].shape == x.shape
+
+
+class TestAsyncCodecAPI:
+    def test_async_matches_sync(self):
+        import jax
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        codec.update(force=True)
+        x = (np.random.default_rng(0).random((2, 64, 64, 3)) * 255
+             ).astype(np.uint8)
+        out_sync = codec.compress(x)
+        out_async = codec.compress_async(x)()
+        assert out_sync["strings"][0] == out_async["strings"][0]
+        rec_sync = codec.decompress(out_sync["strings"], out_sync["shape"],
+                                    u8=True)
+        rec_async = codec.decompress_async(
+            out_async["strings"], out_async["shape"]
+        )()
+        np.testing.assert_array_equal(rec_sync["x_hat"], rec_async["x_hat"])
