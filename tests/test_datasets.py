@@ -156,3 +156,27 @@ class TestColorTransforms:
         assert u.shape == (1, 8, 8, 1)
         out = yuv_420_to_444((y, u, v))
         assert out.shape == (1, 16, 16, 3)
+
+
+class TestTransformWrappers:
+    def test_roundtrip_classes(self):
+        import jax.numpy as jnp
+
+        from lmic_tpu.transforms import (
+            RGB2YCbCr,
+            YCbCr2RGB,
+            YUV420To444,
+            YUV444To420,
+        )
+
+        rng = np.random.default_rng(0)
+        rgb = jnp.asarray(rng.random((1, 16, 16, 3)).astype(np.float32))
+        ycc = RGB2YCbCr()(rgb)
+        back = YCbCr2RGB()(ycc)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(rgb),
+                                   atol=1e-4)
+        planes = YUV444To420()(ycc)
+        assert planes[1].shape == (1, 8, 8, 1)
+        up = YUV420To444()(planes)
+        assert up.shape == (1, 16, 16, 3)
+        assert "RGB2YCbCr" in repr(RGB2YCbCr())
