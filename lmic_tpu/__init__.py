@@ -37,6 +37,16 @@ if _os.environ.get("LMIC_PLATFORM"):
     import jax as _jax
 
     _jax.config.update("jax_platforms", _os.environ["LMIC_PLATFORM"])
+elif _os.environ.get("PALLAS_AXON_POOL_IPS"):
+    # Tunnel-attached TPU (axon): host callbacks (io_callback) hang over
+    # the tunnel, so the autoregressive decode scan needs a CPU device to
+    # run on (models/joint.py). Register the CPU platform alongside the
+    # TPU; the TPU stays the default backend.
+    import jax as _jax
+
+    _platforms = _os.environ.get("JAX_PLATFORMS", "axon")
+    if "cpu" not in _platforms:
+        _jax.config.update("jax_platforms", _platforms + ",cpu")
 
 from lmic_tpu import ops  # noqa: F401
 

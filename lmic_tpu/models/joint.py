@@ -182,6 +182,35 @@ def make_wavefront_step(module, variables, H: int, W: int, scale_table):
     return step
 
 
+def _ar_decode_device():
+    """Device for the AR decode scan, or None for the default backend.
+
+    The decode scan round-trips through the host coder once per wavefront
+    via `io_callback` — unsupported (hangs) on tunnel-attached TPUs
+    (axon). There the scan runs on the CPU device instead: the sequential
+    wavefront loop is host-latency-bound anyway, and everything parallel
+    (transforms, hyper path, encode scan) stays on the TPU.
+
+    LMIC_AR_DECODE: auto (default) | device | cpu.
+    """
+    import os
+
+    mode = os.environ.get("LMIC_AR_DECODE", "auto")
+    if mode == "device":
+        return None
+    want_cpu = mode == "cpu" or (
+        mode == "auto"
+        and os.environ.get("PALLAS_AXON_POOL_IPS")
+        and jax.default_backend() != "cpu"
+    )
+    if not want_cpu:
+        return None
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def _scatter_wavefront(y_hat_pad, w_safe, valid, y_vals):
     """Write one wavefront's (H, M) values into the padded buffer with a
     single batched scatter (rows are distinct, so no conflicts). Invalid
@@ -239,12 +268,25 @@ class JointARCodec(CompressionCodec):
             raise RuntimeError("Uninitialized CDFs. Run update() first")
 
     # -- encode ------------------------------------------------------------
+    def _ar_variables(self):
+        """Variables on the device the AR scans run on. Encode and decode
+        MUST share a device: the entropy parameters are recomputed on both
+        sides and must match bit-for-bit, and different backends round
+        conv results differently."""
+        dev = _ar_decode_device()
+        if dev is None:
+            return None, self.variables
+        if not hasattr(self, "_cpu_variables"):
+            self._cpu_variables = jax.device_put(self.variables, dev)
+        return dev, self._cpu_variables
+
     def _get_encode_scan(self, H: int, W: int):
         key = (H, W)
         if key in self._encode_scan_cache:
             return self._encode_scan_cache[key]
 
-        module, variables = self.module, self.variables
+        module = self.module
+        ar_dev, variables = self._ar_variables()
         M = module.M
         T = _wavefront_positions(H, W)
         step_fn = make_wavefront_step(
@@ -277,6 +319,15 @@ class JointARCodec(CompressionCodec):
             return symbols, indexes, valid, carry["y_hat"]
 
         fn = jax.jit(run)
+        if ar_dev is not None:
+            inner = fn
+
+            def fn(y, params, _inner=inner, _dev=ar_dev):
+                with jax.default_device(_dev):
+                    return _inner(
+                        jax.device_put(y, _dev), jax.device_put(params, _dev)
+                    )
+
         self._encode_scan_cache[key] = fn
         return fn
 
@@ -315,7 +366,8 @@ class JointARCodec(CompressionCodec):
         if key in self._encode_scan_cache:
             return self._encode_scan_cache[key]
 
-        module, variables = self.module, self.variables
+        module = self.module
+        dec_dev, variables = self._ar_variables()
         M = module.M
         T = _wavefront_positions(H, W)
         step_fn = make_wavefront_step(
@@ -363,6 +415,13 @@ class JointARCodec(CompressionCodec):
             return carry["y_hat"][PAD : PAD + H, PAD : PAD + W]
 
         fn = jax.jit(run)
+        if dec_dev is not None:
+            inner = fn
+
+            def fn(params, _inner=inner, _dev=dec_dev):
+                with jax.default_device(_dev):
+                    return _inner(jax.device_put(params, _dev))
+
         wrapped = (fn, decoder_box)
         self._encode_scan_cache[key] = wrapped
         return wrapped

@@ -45,9 +45,12 @@ def _gdn_jnp(x, beta, gamma, inverse: bool):
 
 def _kernel(x_ref, gamma_t_ref, beta_ref, out_ref, *, inverse: bool):
     x = x_ref[:]
+    # full-precision MXU passes: the bf16 default costs ~1e-3 absolute
+    # error vs the f32 reference path — visible in parity tests
     norm = (
         jnp.dot(
-            x * x, gamma_t_ref[:], preferred_element_type=jnp.float32
+            x * x, gamma_t_ref[:], preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         + beta_ref[:]
     )

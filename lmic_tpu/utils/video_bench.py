@@ -45,7 +45,8 @@ class VideoCodec:
                    quality: int, out_path: str) -> List[str]:
         fps = float(seq.framerate) if seq.framerate else 30.0
         return [
-            self.binary(), "-y", "-s", f"{seq.width}x{seq.height}",
+            self.binary(), "-y", "-f", "rawvideo",
+            "-s", f"{seq.width}x{seq.height}",
             "-pix_fmt", "yuv420p", "-framerate", f"{fps:g}",
             "-i", in_path,
             "-c:v", self.encoder_name, "-crf", str(quality),

@@ -19,8 +19,13 @@ def data():
     C = 64
     x = jax.random.normal(kx, (2, 9, 7, C))  # deliberately ragged spatial
     beta = jax.random.uniform(kb, (C,), minval=0.5, maxval=1.5)
-    g = jax.random.normal(kg, (C, C)) * 0.05
-    gamma = g @ g.T + 0.1 * jnp.eye(C)  # PSD-ish, positive diag
+    # GDN gammas are elementwise NONNEGATIVE (NonNegativeParametrizer) —
+    # that is what keeps the norm positive; a merely-PSD matrix can drive
+    # sum_i x_i^2 gamma_oi negative and rsqrt to NaN.
+    gamma = (
+        jax.random.uniform(kg, (C, C), minval=0.0, maxval=0.02)
+        + 0.1 * jnp.eye(C)
+    )
     return x, beta, gamma
 
 
