@@ -157,16 +157,28 @@ def main(argv=None):
         f for f in Path(args.dataset).iterdir()
         if f.suffix.lower() in {".png", ".jpg", ".jpeg"}
     )
+    import contextlib
+
+    # --half: bf16 matmul passes on the MXU for the transforms (the torch
+    # reference's .half() eval analogue); coding decisions stay f32
+    precision_ctx = (
+        jax.default_matmul_precision("bfloat16") if args.half
+        else contextlib.nullcontext()
+    )
     results: List[Dict[str, float]] = []
-    for f in files:
-        x = load_image(f, args.channel)
-        if args.entropy_estimation:
-            m = eval_image_forward(codec, x)
-        else:
-            m = eval_image_codec(codec, x)
-        results.append(m)
-        print(f"{f.name}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
-              flush=True)
+    with precision_ctx:
+        for f in files:
+            x = load_image(f, args.channel)
+            if args.entropy_estimation:
+                m = eval_image_forward(codec, x)
+            else:
+                m = eval_image_codec(codec, x)
+            results.append(m)
+            print(
+                f"{f.name}: "
+                + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
+                flush=True,
+            )
 
     agg = {
         k: float(np.mean([r[k] for r in results]))

@@ -60,16 +60,23 @@ def ssim(x, y, max_val: float = 1.0):
 
 
 def ms_ssim(x, y, max_val: float = 1.0):
-    """Multi-scale SSIM, 5 scales (needs spatial size >= 176 preferably;
-    >= 11 * 2^4 strictly)."""
-    weights = jnp.asarray(_MSSSIM_WEIGHTS, x.dtype)
+    """Multi-scale SSIM. Uses the standard 5 scales when the image is large
+    enough (min side >= 11 * 2^4 = 176); smaller images drop the coarsest
+    scales with renormalized weights instead of producing NaN from an
+    empty valid-mode blur."""
+    n_scales = len(_MSSSIM_WEIGHTS)
+    min_side = min(x.shape[1], x.shape[2])
+    while n_scales > 1 and (min_side >> (n_scales - 1)) < 11:
+        n_scales -= 1
+    weights = jnp.asarray(_MSSSIM_WEIGHTS[:n_scales], x.dtype)
+    weights = weights / jnp.sum(weights)
     values = []
-    for i in range(len(_MSSSIM_WEIGHTS)):
+    for i in range(n_scales):
         s, cs = _ssim_components(x, y, max_val)
         values.append(
-            jnp.mean(s) if i == len(_MSSSIM_WEIGHTS) - 1 else jnp.mean(cs)
+            jnp.mean(s) if i == n_scales - 1 else jnp.mean(cs)
         )
-        if i < len(_MSSSIM_WEIGHTS) - 1:
+        if i < n_scales - 1:
             x = jax.lax.reduce_window(
                 x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             ) / 4.0

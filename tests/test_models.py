@@ -135,3 +135,46 @@ class TestAsyncCodecAPI:
             out_async["strings"], out_async["shape"]
         )()
         np.testing.assert_array_equal(rec_sync["x_hat"], rec_async["x_hat"])
+
+
+class TestInt8SymbolFallback:
+    def test_overflow_falls_back_to_int16(self):
+        import jax
+        import jax.numpy as jnp
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        codec.update(force=True)
+        codec._build_u8_fns()
+        x_dev = jnp.zeros((1, 64, 64, 3), jnp.uint8)
+        # fabricate an int8 result that wrapped around, with overflow flagged
+        wrapped = jnp.full((1, codec.module.M, 4, 4), -1, jnp.int8)
+        sym = codec._fetch_symbols(x_dev, (wrapped, jnp.int32(3)))
+        # fallback must have rerun the int16 pass on x_dev, ignoring `wrapped`
+        true16 = np.asarray(codec._enc_u8(x_dev), dtype=np.int32)
+        np.testing.assert_array_equal(sym, true16)
+
+    def test_no_overflow_uses_int8(self):
+        import jax
+        import jax.numpy as jnp
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        codec.update(force=True)
+        codec._build_u8_fns()
+        x = (np.random.default_rng(0).random((1, 64, 64, 3)) * 255
+             ).astype(np.uint8)
+        x_dev = jnp.asarray(x)
+        sym8, ovf = codec._enc_u8_i8(x_dev)
+        assert int(ovf) == 0
+        got = codec._fetch_symbols(x_dev, (sym8, ovf))
+        true16 = np.asarray(codec._enc_u8(x_dev), dtype=np.int32)
+        np.testing.assert_array_equal(got, true16)

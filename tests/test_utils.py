@@ -195,3 +195,27 @@ class TestProfiling:
 
         out, dt = timed(jnp.sum, jnp.ones(16))
         assert float(out) == 16.0 and dt >= 0
+
+
+class TestMsSsimSmallImages:
+    def test_small_image_finite(self):
+        import jax.numpy as jnp
+
+        from lmic_tpu.utils.metrics import ms_ssim
+
+        rng = np.random.default_rng(0)
+        for size in (32, 64, 128, 176, 256):
+            a = jnp.asarray(rng.random((1, size, size, 3)).astype(np.float32))
+            b = jnp.clip(a + 0.05, 0, 1)
+            v = float(ms_ssim(a, b))
+            assert np.isfinite(v) and 0 <= v <= 1, (size, v)
+
+    def test_identical_is_one(self):
+        import jax.numpy as jnp
+
+        from lmic_tpu.utils.metrics import ms_ssim
+
+        a = jnp.asarray(
+            np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+        )
+        assert float(ms_ssim(a, a)) > 0.9999
