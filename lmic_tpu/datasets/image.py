@@ -237,9 +237,16 @@ class ImageFolderTest:
                 .convert("RGB")
                 .resize((1280, 1024))
             )
+        # The RGB modality is the 2x-resolution stream in the FLIR pairing
+        # (reference resizes RGB to 1280x1024 against 640x512 thermal):
+        # channel=3 -> master is RGB (2x), channel=1 -> guide is RGB (2x).
         H, W = self.crop_size
-        guided = center_crop(guided, (H, W))
-        x = center_crop(x, (2 * H, 2 * W))
+        if self.channel == 3:
+            x = center_crop(x, (2 * H, 2 * W))
+            guided = center_crop(guided, (H, W))
+        else:
+            x = center_crop(x, (H, W))
+            guided = center_crop(guided, (2 * H, 2 * W))
         return x, guided
 
 

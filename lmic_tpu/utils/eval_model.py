@@ -105,6 +105,25 @@ def eval_rgbt_pair(guided_codec, master_codec, x, guided,
     condition the master. bpp counts master strings + beta/gamma side info
     (64*2*4 bytes)."""
     num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+    if entropy_estimation:
+        g_fwd = guided_codec.module.apply(
+            guided_codec.variables, jnp.asarray(guided), training=False
+        )
+        hidden = {k: v for k, v in g_fwd["hidden"].items()
+                  if k.startswith("gs")}
+        m_fwd = master_codec.module.apply(
+            master_codec.variables, jnp.asarray(x),
+            g_fwd["x_hat"], hidden, training=False,
+        )
+        bits = sum(
+            float(-jnp.sum(jnp.log2(lik)))
+            for lik in m_fwd["likelihoods"].values()
+        ) + 64 * 2 * 4 * 8
+        return {
+            "psnr": float(psnr(m_fwd["x_hat"], jnp.asarray(x))),
+            "ms-ssim": float(ms_ssim(m_fwd["x_hat"], jnp.asarray(x))),
+            "bpp": bits / num_pixels,
+        }
     t0 = time.perf_counter()
     g_out = guided_codec.compress(guided)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
@@ -137,26 +156,84 @@ def parse_args(argv):
     p.add_argument("--entropy-estimation", action="store_true")
     p.add_argument("--output", default=None, help="JSON results path")
     p.add_argument("--half", action="store_true",
-                   help="(accepted for reference-CLI parity; bf16 eval TBD)")
+                   help="bf16 matmul precision for the transforms")
+    # RGBT paired mode (reference __main__rgbt.py): --arch master +
+    # checkpoints for both stages; dataset dir holds the master modality
+    # with the guide found by RGB<->thermal_8_bit path substitution
+    p.add_argument("--rgbt", action="store_true",
+                   help="paired guided+master eval over ImageFolderTest")
+    p.add_argument("--guided-checkpoint", default=None)
+    p.add_argument("--crop-size", type=int, nargs=2, default=(512, 640),
+                   help="master-modality crop; both sides must be "
+                        "divisible by 64 (reference hard-wires 512 640)")
+    p.add_argument("--test-ids", default=None,
+                   help="comma-separated id substrings, or 'all' "
+                        "(default: the reference's 20 fixed FLIR ids)")
     return p.parse_args(argv)
+
+
+def run_rgbt(args) -> List[Dict[str, float]]:
+    from lmic_tpu.datasets.image import ImageFolderTest
+    from lmic_tpu.utils.checkpoint import load_updated_model
+
+    guided_codec = zoo.create_model(
+        "guided", args.quality, channel=4 - args.channel,
+        input_size=(64, 64),
+    )
+    master_codec = zoo.create_model(
+        "master", args.quality, channel=args.channel,
+        input_size=(128, 128),
+    )
+    if args.guided_checkpoint:
+        guided_codec = load_updated_model(args.guided_checkpoint,
+                                          guided_codec)
+    else:
+        guided_codec.update(force=True)
+    if args.checkpoint:
+        master_codec = load_updated_model(args.checkpoint, master_codec)
+    else:
+        master_codec.update(force=True)
+
+    if args.test_ids == "all":
+        test_ids = [""]  # substring match: everything
+    elif args.test_ids:
+        test_ids = args.test_ids.split(",")
+    else:
+        test_ids = None  # the reference's fixed FLIR validation ids
+    ds = ImageFolderTest(args.dataset, crop_size=tuple(args.crop_size),
+                         channel=args.channel, test_ids=test_ids)
+    results = []
+    for i in range(len(ds)):
+        x, guided = ds[i]
+        m = eval_rgbt_pair(
+            guided_codec, master_codec, x[None], guided[None],
+            entropy_estimation=args.entropy_estimation,
+        )
+        results.append(m)
+        print(f"[{i}] " + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
+              flush=True)
+    return results
 
 
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
-    codec = zoo.create_model(
-        args.arch, args.quality, channel=args.channel
-    )
-    if args.checkpoint:
-        from lmic_tpu.utils.checkpoint import load_updated_model
+    if args.rgbt:
+        codec, files = None, []
+    else:
+        codec = zoo.create_model(
+            args.arch, args.quality, channel=args.channel
+        )
+        if args.checkpoint:
+            from lmic_tpu.utils.checkpoint import load_updated_model
 
-        codec = load_updated_model(args.checkpoint, codec)
-    elif not args.entropy_estimation:
-        codec.update(force=True)
+            codec = load_updated_model(args.checkpoint, codec)
+        elif not args.entropy_estimation:
+            codec.update(force=True)
 
-    files = sorted(
-        f for f in Path(args.dataset).iterdir()
-        if f.suffix.lower() in {".png", ".jpg", ".jpeg"}
-    )
+        files = sorted(
+            f for f in Path(args.dataset).iterdir()
+            if f.suffix.lower() in {".png", ".jpg", ".jpeg"}
+        )
     import contextlib
 
     # --half: bf16 matmul passes on the MXU for the transforms (the torch
@@ -167,6 +244,9 @@ def main(argv=None):
     )
     results: List[Dict[str, float]] = []
     with precision_ctx:
+        if args.rgbt:
+            results = run_rgbt(args)
+            files = []
         for f in files:
             x = load_image(f, args.channel)
             if args.entropy_estimation:

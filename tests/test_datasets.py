@@ -180,3 +180,44 @@ class TestTransformWrappers:
         up = YUV420To444()(planes)
         assert up.shape == (1, 16, 16, 3)
         assert "RGB2YCbCr" in repr(RGB2YCbCr())
+
+
+class TestImageFolderTestPairing:
+    @pytest.fixture()
+    def flir_root(self, tmp_path):
+        from PIL import Image
+
+        (tmp_path / "thermal_8_bit").mkdir()
+        (tmp_path / "RGB").mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            t = (rng.random((512, 640)) * 255).astype(np.uint8)
+            Image.fromarray(t, "L").save(
+                tmp_path / "thermal_8_bit" / f"FLIR_0000{i}.jpeg"
+            )
+            c = (rng.random((1024, 1280, 3)) * 255).astype(np.uint8)
+            Image.fromarray(c).save(tmp_path / "RGB" / f"FLIR_0000{i}.jpg")
+        return tmp_path
+
+    def test_channel1_master_is_small_thermal(self, flir_root):
+        from lmic_tpu.datasets.image import ImageFolderTest
+
+        ds = ImageFolderTest(
+            str(flir_root / "thermal_8_bit"), crop_size=(128, 160),
+            channel=1, test_ids=[""],
+        )
+        assert len(ds) == 2
+        x, guided = ds[0]
+        assert x.shape == (128, 160, 1)        # thermal master at 1x
+        assert guided.shape == (256, 320, 3)   # RGB guide at 2x
+
+    def test_channel3_master_is_big_rgb(self, flir_root):
+        from lmic_tpu.datasets.image import ImageFolderTest
+
+        ds = ImageFolderTest(
+            str(flir_root / "RGB"), crop_size=(128, 160),
+            channel=3, test_ids=[""],
+        )
+        x, guided = ds[0]
+        assert x.shape == (256, 320, 3)        # RGB master at 2x
+        assert guided.shape == (128, 160, 1)   # thermal guide at 1x
