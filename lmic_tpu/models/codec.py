@@ -288,6 +288,54 @@ class HyperpriorCodec(CompressionCodec):
         self._dec_params = jax.jit(_dec_params)
         self._dec_synth = jax.jit(_dec_synth)
 
+    def _build_u8_fns(self):
+        """int8-transfer fast path (see FactorizedPriorCodec._build_u8_fns):
+        pixels cross the link as uint8, z/y as int8 symbols (int16
+        fallback), GC indexes as uint8. `_params_from_zsym` is the ONLY
+        place entropy parameters are derived, used by both directions, so
+        indexes agree bit-for-bit."""
+        module, variables = self.module, self.variables
+        cls = type(module)
+        z_medians = jnp.asarray(self.eb_state.medians)
+        table = jnp.asarray(self.gc_state.scale_table)
+        gc = GaussianConditional()
+
+        def analyze_u8(x_u8):
+            x = x_u8.astype(jnp.float32) / 255.0
+            y, z = module.apply(variables, x, method=cls.analyze)
+            z_sym = jnp.round(z - z_medians)
+            ovf = jnp.sum((z_sym < -128) | (z_sym > 127)).astype(jnp.int32)
+            return y, jnp.moveaxis(z_sym, -1, 1).astype(jnp.int8), ovf
+
+        def params_from_zsym(z_sym_cmaj):
+            z_hat = jnp.moveaxis(
+                z_sym_cmaj.astype(jnp.float32), 1, -1
+            ) + z_medians
+            scales, means = module.apply(
+                variables, z_hat, method=cls.hyper_to_params
+            )
+            indexes = gc.build_indexes(table, scales).astype(jnp.uint8)
+            return indexes, means
+
+        def ysym(y, means):
+            sym = jnp.round(y - means if means is not None else y)
+            ovf = jnp.sum((sym < -128) | (sym > 127)).astype(jnp.int32)
+            return sym.astype(jnp.int8), sym.astype(jnp.int16), ovf
+
+        def synth_u8(y_sym, means):
+            y_hat = y_sym.astype(jnp.float32)
+            if means is not None:
+                y_hat = y_hat + means
+            x = jnp.clip(
+                module.apply(variables, y_hat, method=cls.g_s), 0.0, 1.0
+            )
+            return jnp.round(x * 255.0).astype(jnp.uint8)
+
+        self._analyze_u8 = jax.jit(analyze_u8)
+        self._params_from_zsym = jax.jit(params_from_zsym)
+        self._ysym = jax.jit(ysym)
+        self._synth_u8 = jax.jit(synth_u8)
+
     def update(self, force: bool = False, scale_table=None):
         if self.eb_state is not None and self.gc_state is not None and not force:
             return False
@@ -308,6 +356,9 @@ class HyperpriorCodec(CompressionCodec):
 
     def compress(self, x):
         self._check_updated()
+        x = np.asarray(x)
+        if x.dtype == np.uint8:
+            return self._compress_u8(x)
         y, z = jax.device_get(self._analyze(jnp.asarray(x)))
         z_strings = self.eb_state.compress(z)
         # deterministic z_hat: round(z - median) + median equals the decoder's
@@ -332,9 +383,62 @@ class HyperpriorCodec(CompressionCodec):
         )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
-    def decompress(self, strings, shape):
+    def _compress_u8(self, x: np.ndarray):
+        if not hasattr(self, "_analyze_u8"):
+            self._build_u8_fns()
+        x_dev = jnp.asarray(x)
+        y_dev, z8, zovf = self._analyze_u8(x_dev)
+        if int(zovf) != 0:  # pragma: no cover - extreme hyper latents
+            return self.compress(x.astype(np.float32) / 255.0)
+        z_sym = np.asarray(z8, dtype=np.int32)
+        B, Cz = z_sym.shape[:2]
+        ch_idx = np.broadcast_to(
+            np.arange(Cz, dtype=np.int32)[:, None],
+            (Cz, z_sym.shape[2] * z_sym.shape[3]),
+        )
+        z_strings = rans.encode_batch(
+            z_sym.reshape(B, -1), ch_idx.reshape(-1), self.eb_state.table
+        )
+        idx_dev, means_dev = self._params_from_zsym(z8)
+        y8, y16, yovf = self._ysym(y_dev, means_dev)
+        ysym = np.asarray(
+            y8 if int(yovf) == 0 else y16, dtype=np.int32
+        )
+        idx = np.asarray(idx_dev, dtype=np.int32)
+        y_strings = rans.encode_batch(
+            ysym.reshape(B, -1), idx.reshape(B, -1), self.gc_state.table
+        )
+        return {"strings": [y_strings, z_strings],
+                "shape": z_sym.shape[2:4]}
+
+    def _decompress_u8(self, strings, shape):
+        if not hasattr(self, "_analyze_u8"):
+            self._build_u8_fns()
+        y_strings, z_strings = strings[0], strings[1]
+        C = len(self.eb_state.medians)
+        H, W = shape
+        ch_idx = np.repeat(np.arange(C, dtype=np.int32), H * W)
+        z_sym = rans.decode_batch(
+            z_strings, ch_idx, self.eb_state.table
+        ).reshape(len(z_strings), C, H, W)
+        # int8 iff the values fit — identical to the encoder's dtype choice
+        # (same values), so `_params_from_zsym` runs the same compiled graph
+        z8 = z_sym.astype(_narrowest_int(z_sym))
+        idx_dev, means_dev = self._params_from_zsym(jnp.asarray(z8))
+        idx = np.asarray(idx_dev, dtype=np.int32)
+        B = idx.shape[0]
+        y_sym = rans.decode_batch(
+            y_strings, idx.reshape(B, -1), self.gc_state.table
+        ).reshape(idx.shape)
+        y_up = y_sym.astype(_narrowest_int(y_sym))
+        x_u8 = np.asarray(self._synth_u8(jnp.asarray(y_up), means_dev))
+        return {"x_hat": x_u8}
+
+    def decompress(self, strings, shape, u8: bool = False):
         self._check_updated()
         assert isinstance(strings, list) and len(strings) == 2
+        if u8:
+            return self._decompress_u8(strings, shape)
         y_strings, z_strings = strings[0], strings[1]
         z_hat = self.eb_state.decompress(z_strings, tuple(shape))
         table = jnp.asarray(self.gc_state.scale_table)

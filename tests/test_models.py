@@ -178,3 +178,28 @@ class TestInt8SymbolFallback:
         got = codec._fetch_symbols(x_dev, (sym8, ovf))
         true16 = np.asarray(codec._enc_u8(x_dev), dtype=np.int32)
         np.testing.assert_array_equal(got, true16)
+
+
+class TestHyperpriorU8FastPath:
+    @pytest.mark.parametrize("arch", ["bmshj2018-hyperprior", "mbt2018-mean"])
+    def test_matches_float_path(self, arch):
+        import jax
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_model(
+            arch, 1, key=jax.random.key(0), input_size=(64, 64)
+        )
+        codec.update(force=True)
+        x8 = (np.random.default_rng(0).random((2, 64, 64, 3)) * 255
+              ).astype(np.uint8)
+        out8 = codec.compress(x8)
+        rec8 = codec.decompress(out8["strings"], out8["shape"], u8=True)
+        xf = x8.astype(np.float32) / 255.0
+        outf = codec.compress(xf)
+        recf = codec.decompress(outf["strings"], outf["shape"])
+        # same pixels -> same symbols -> identical streams
+        assert out8["strings"][0] == outf["strings"][0]
+        assert out8["strings"][1] == outf["strings"][1]
+        want = np.round(np.clip(recf["x_hat"], 0, 1) * 255).astype(np.uint8)
+        np.testing.assert_array_equal(rec8["x_hat"], want)
