@@ -47,3 +47,31 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (e.g. params) across the mesh."""
     sharding = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
+    """Re-jit a codec's u8 fast-path device passes over a mesh, sharding the
+    batch axis: compress/decompress then scale across chips (each image is
+    independent; XLA partitions the transforms batch-wise with no
+    cross-chip collectives). Host entropy coding is already per-image.
+
+    Serving pattern: `shard_codec(codec, make_mesh())` once, then feed
+    batches whose leading dim divides the mesh size.
+    """
+    codec._check_updated()
+    if not hasattr(codec, "_build_u8_fns"):
+        raise ValueError(f"{type(codec).__name__} has no u8 fast path")
+    codec._build_u8_fns()
+    data = NamedSharding(mesh, P(axis))
+    for name in ("_enc_u8_i8", "_enc_u8", "_dec_u8", "_analyze_u8",
+                 "_params_from_zsym", "_ysym", "_synth_u8"):
+        fn = getattr(codec, name, None)
+        if fn is None:
+            continue
+        # re-jit the original python callable with a sharded batch input;
+        # remaining args (means etc.) keep their natural shardings
+        inner = fn.__wrapped__
+        n_in = {"_ysym": 2, "_synth_u8": 2}.get(name, 1)
+        shardings = tuple([data] * n_in)
+        setattr(codec, name, jax.jit(inner, in_shardings=shardings))
+    return codec

@@ -150,3 +150,31 @@ class TestBF16:
                                matmul_precision="bfloat16")
         state, metrics = step(state, x, jax.random.key(2))
         assert jnp.isfinite(metrics["loss"])
+
+
+class TestShardedCodec:
+    def test_mesh_codec_matches_single_device(self):
+        import jax
+
+        from lmic_tpu import parallel, zoo
+
+        x = (np.random.default_rng(0).random((8, 64, 64, 3)) * 255
+             ).astype(np.uint8)
+        single = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        single.update(force=True)
+        out1 = single.compress(x)
+
+        sharded = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        sharded.update(force=True)
+        parallel.shard_codec(sharded, parallel.make_mesh(8))
+        out2 = sharded.compress(x)
+        assert out1["strings"][0] == out2["strings"][0]
+        r1 = single.decompress(out1["strings"], out1["shape"], u8=True)
+        r2 = sharded.decompress(out2["strings"], out2["shape"], u8=True)
+        np.testing.assert_array_equal(r1["x_hat"], r2["x_hat"])
