@@ -422,8 +422,15 @@ class HyperpriorCodec(CompressionCodec):
             z_strings, ch_idx, self.eb_state.table
         ).reshape(len(z_strings), C, H, W)
         # int8 iff the values fit — identical to the encoder's dtype choice
-        # (same values), so `_params_from_zsym` runs the same compiled graph
-        z8 = z_sym.astype(_narrowest_int(z_sym))
+        # (same values), so `_params_from_zsym` runs the same compiled graph.
+        # Non-int8 z means the ENCODER fell back to the float jits; mirror
+        # it so both sides derive indexes from the same compiled graph.
+        if _narrowest_int(z_sym) is not np.int8:  # pragma: no cover - rare
+            out = self.decompress(strings, shape)
+            return {"x_hat": np.round(
+                np.clip(out["x_hat"], 0.0, 1.0) * 255.0
+            ).astype(np.uint8)}
+        z8 = z_sym.astype(np.int8)
         idx_dev, means_dev = self._params_from_zsym(jnp.asarray(z8))
         idx = np.asarray(idx_dev, dtype=np.int32)
         B = idx.shape[0]
