@@ -12,6 +12,7 @@ import numpy as np
 import pytest
 
 jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
 
 from tests.reference_oracle import reference_available  # noqa: E402
 
@@ -247,3 +248,79 @@ def test_rgbt_guided_master_parity():
     np.testing.assert_allclose(
         np.asarray(ours_m["x_hat"]), t(m_out["x_hat"]), atol=5e-6
     )
+
+
+def test_gradient_parity_f64():
+    """Gold-standard autodiff check: d MSE(g_s(g_a(x)), x) / d params match
+    torch autograd to ~1e-14 in float64 — covers the conv/deconv layout
+    mapping, GDN (custom VJP + NonNegativeParametrizer/LowerBound custom
+    gradients) end to end. (In f32 the same comparison shows ~1e-3
+    accumulation-order noise, which is why this runs in f64.)"""
+    import torch
+
+    from lmic_tpu.zoo import make_module
+    from lmic_tpu.zoo.pretrained import import_reference_state_dict
+
+    from compressai.models.google import FactorizedPrior
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        torch.manual_seed(0)
+        ref = FactorizedPrior(32, 48).double()
+        x_t = torch.rand(1, 3, 32, 32, dtype=torch.float64)
+        y = ref.g_a(x_t)
+        xh = ref.g_s(y)
+        torch.mean((xh - x_t) ** 2).backward()
+        tg = {
+            k: p.grad.detach().numpy()
+            for k, p in ref.named_parameters()
+            if p.grad is not None and k.startswith(("g_a", "g_s"))
+        }
+
+        module = make_module("bmshj2018-factorized", 1, N=32, M=48)
+        xj = jnp.asarray(
+            np.transpose(x_t.numpy(), (0, 2, 3, 1)), jnp.float64
+        )
+        v = import_reference_state_dict(
+            "bmshj2018-factorized",
+            {k: t.detach().numpy() for k, t in ref.state_dict().items()},
+            None,
+        )
+        v = jax.tree.map(lambda a: jnp.asarray(a, jnp.float64), v)
+
+        def loss_fn(params):
+            yj = module.apply(
+                {"params": params}, xj, method=type(module).g_a
+            )
+            xhj = module.apply(
+                {"params": params}, yj, method=type(module).g_s
+            )
+            return jnp.mean((xhj - xj) ** 2)
+
+        grads = jax.grad(loss_fn)(v["params"])
+
+        def conv_g(t):
+            return np.transpose(t, (2, 3, 1, 0))
+
+        def deconv_g(t):
+            return np.transpose(t, (2, 3, 0, 1))[::-1, ::-1]
+
+        checks = [
+            ("g_a.0.weight",
+             grads["g_a_net"]["layers_0"]["Conv_0"]["kernel"], conv_g),
+            ("g_a.1.gamma",
+             grads["g_a_net"]["layers_1"]["gamma"], lambda t: t),
+            ("g_a.1.beta",
+             grads["g_a_net"]["layers_1"]["beta"], lambda t: t),
+            ("g_s.0.weight",
+             grads["g_s_net"]["layers_0"]["Conv_0"]["kernel"], deconv_g),
+            ("g_s.6.bias",
+             grads["g_s_net"]["layers_6"]["Conv_0"]["bias"], lambda t: t),
+        ]
+        for name, jg, cv in checks:
+            want = cv(tg[name])
+            ours = np.asarray(jg)
+            rel = np.linalg.norm(ours - want) / np.linalg.norm(want)
+            assert rel < 1e-10, (name, rel)
+    finally:
+        jax.config.update("jax_enable_x64", False)
