@@ -13,24 +13,33 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import sys
 
 
-def load_series(path: str, metric: str):
+def load_series(path: str, metric: str, rate_key: str = "bpp"):
     with open(path) as f:
         data = json.load(f)
     entries = data if isinstance(data, list) else [data]
     series = []
     for e in entries:
         res = e.get("results", e)
+        if isinstance(res, list):
+            # video-bench layout: list of per-quality dicts
+            rate = [r.get(rate_key) for r in res]
+            val = [r.get(metric, r.get(metric.replace("_", "-")))
+                   for r in res]
+        else:
+            rate = res.get(rate_key)
+            val = res.get(metric) or res.get(metric.replace("_", "-"))
         name = e.get("name", path)
-        bpp = res.get("bpp")
-        val = res.get(metric) or res.get(metric.replace("_", "-"))
-        if bpp is None or val is None:
+        if rate is None or val is None or None in (
+            rate if isinstance(rate, list) else [rate]
+        ):
             continue
-        if not isinstance(bpp, list):
-            bpp, val = [bpp], [val]
-        pairs = sorted(zip(bpp, val))
+        if not isinstance(rate, list):
+            rate, val = [rate], [val]
+        pairs = sorted(zip(rate, val))
         series.append((name, [p[0] for p in pairs], [p[1] for p in pairs]))
     return series
 
@@ -39,9 +48,15 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="RD curve plotting")
     p.add_argument("-f", "--results-file", nargs="+", required=True)
     p.add_argument("--metric", default="psnr",
-                   choices=["psnr", "ms-ssim", "ms_ssim"])
+                   choices=["psnr", "ms-ssim", "ms_ssim", "psnr-rgb",
+                            "psnr-yuv", "psnr-y"])
     p.add_argument("-t", "--title", default="RD curves")
     p.add_argument("-o", "--output", default=None)
+    p.add_argument("--rate", default="bpp", choices=["bpp", "bitrate"],
+                   help="x axis: bpp (image) or bitrate kbps (video, "
+                        "reference utils/video/plot)")
+    p.add_argument("--ssim-db", action="store_true",
+                   help="plot MS-SSIM as -10*log10(1 - v) dB")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
 
     import matplotlib
@@ -52,12 +67,20 @@ def main(argv=None):
 
     fig, ax = plt.subplots(figsize=(9, 6))
     for path in args.results_file:
-        for name, bpp, val in load_series(path, args.metric):
-            ax.plot(bpp, val, ".-", label=name)
-    ax.set_xlabel("Bit-rate [bpp]")
-    ax.set_ylabel(
-        "PSNR [dB]" if args.metric == "psnr" else "MS-SSIM"
+        for name, rate, val in load_series(path, args.metric, args.rate):
+            if args.ssim_db and "ssim" in args.metric:
+                val = [-10 * math.log10(max(1e-12, 1 - v)) for v in val]
+            ax.plot(rate, val, ".-", label=name)
+    ax.set_xlabel(
+        "Bit-rate [bpp]" if args.rate == "bpp" else "Bit-rate [kbps]"
     )
+    if "psnr" in args.metric:
+        ylabel = "PSNR [dB]"
+    elif args.ssim_db:
+        ylabel = "MS-SSIM [dB]"
+    else:
+        ylabel = "MS-SSIM"
+    ax.set_ylabel(ylabel)
     ax.set_title(args.title)
     ax.grid(True, alpha=0.3)
     ax.legend(loc="lower right")
