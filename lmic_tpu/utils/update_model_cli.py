@@ -37,6 +37,9 @@ def parse_args(argv):
     p.add_argument("--raw-params", action="store_true",
                    help="checkpoint holds bare params (save_params), not a "
                         "TrainState")
+    p.add_argument("--from-torch", action="store_true",
+                   help="checkpoint is a reference PyTorch .pth(.tar): "
+                        "convert via zoo.pretrained and bake tables")
     return p.parse_args(argv)
 
 
@@ -46,7 +49,17 @@ def run(argv=None):
         args.arch, args.quality, channel=args.channel,
         key=jax.random.key(0),
     )
-    if args.raw_params:
+    if args.from_torch:
+        from lmic_tpu.zoo.pretrained import (
+            import_reference_state_dict,
+            load_torch_state_dict,
+        )
+
+        sd = load_torch_state_dict(args.checkpoint)
+        params = import_reference_state_dict(
+            args.arch, sd, codec.variables
+        )["params"]
+    elif args.raw_params:
         params = ckpt.load_params(
             args.checkpoint, codec.variables["params"]
         )

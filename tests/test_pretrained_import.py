@@ -324,3 +324,34 @@ def test_gradient_parity_f64():
             assert rel < 1e-10, (name, rel)
     finally:
         jax.config.update("jax_enable_x64", False)
+
+
+def test_update_model_from_torch(tmp_path):
+    """lmic-update-model --from-torch: reference .pth.tar -> deployment
+    checkpoint -> working codec."""
+    import torch
+
+    from compressai.models.google import FactorizedPrior
+
+    from lmic_tpu import zoo
+    from lmic_tpu.utils.checkpoint import load_updated_model
+    from lmic_tpu.utils.update_model_cli import run
+
+    torch.manual_seed(0)
+    ref = FactorizedPrior(128, 192)
+    pth = tmp_path / "ref.pth.tar"
+    torch.save({"state_dict": ref.state_dict()}, pth)
+
+    out = run([
+        str(pth), "-a", "bmshj2018-factorized", "-q", "1",
+        "--from-torch", "-d", str(tmp_path),
+    ])
+    codec = zoo.create_model(
+        "bmshj2018-factorized", 1, key=jax.random.key(0),
+        input_size=(64, 64),
+    )
+    codec = load_updated_model(out, codec)
+    x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+    o = codec.compress(x)
+    r = codec.decompress(o["strings"], o["shape"])
+    assert r["x_hat"].shape == x.shape
