@@ -266,8 +266,101 @@ class _HyperpriorState:
             )
         )
 
-    def compress(self, y: np.ndarray):
-        """Returns (y_hat, {"strings": [y_str, z_str], "shape": zhw})."""
+        # Device-resident fast path: the GOP loop keeps every activation on
+        # device; only int8 symbols and uint8 indexes cross the link (the
+        # tunnel is LATENCY-bound here — the old per-frame f32 fetches cost
+        # ~40 ms each). `_params_from_zsym` is shared by both directions so
+        # scale indexes are derived on one compiled graph.
+        z_medians = jnp.asarray(self.eb_state.medians)
+        table = jnp.asarray(self.gc_state.scale_table)
+        gc = GaussianConditional()
+
+        def zsym(y):
+            z = module.apply(variables, y, which, method=cls.hp_encode_z)
+            sym = jnp.round(z - z_medians)
+            ovf = jnp.sum((sym < -128) | (sym > 127)).astype(jnp.int32)
+            return jnp.moveaxis(sym, -1, 1).astype(jnp.int8), ovf
+
+        def params_from_zsym(z_sym_cmaj):
+            z_hat = jnp.moveaxis(
+                z_sym_cmaj.astype(jnp.float32), 1, -1
+            ) + z_medians
+            scales, means = module.apply(
+                variables, z_hat, which, method=cls.hp_params
+            )
+            indexes = gc.build_indexes(table, scales).astype(jnp.uint8)
+            return indexes, means
+
+        def ysym(y, means):
+            sym = jnp.round(y - means)
+            ovf = jnp.sum((sym < -128) | (sym > 127)).astype(jnp.int32)
+            return sym.astype(jnp.int8), sym.astype(jnp.int16), ovf
+
+        def yhat(y_sym, means):
+            return y_sym.astype(jnp.float32) + means
+
+        self._zsym = jax.jit(zsym)
+        self._params_from_zsym = jax.jit(params_from_zsym)
+        self._ysym = jax.jit(ysym)
+        self._yhat = jax.jit(yhat)
+
+    def compress(self, y):
+        """y: device (or host) float array. Returns (y_hat ON DEVICE,
+        {"strings": [y_str, z_str], "shape": zhw})."""
+        y = jnp.asarray(y)
+        z8, zovf = self._zsym(y)
+        if int(zovf) != 0:  # pragma: no cover - extreme hyper latents
+            return self._compress_f32(np.asarray(y))
+        z_sym = np.asarray(z8, dtype=np.int32)
+        B, Cz = z_sym.shape[:2]
+        ch_idx = np.broadcast_to(
+            np.arange(Cz, dtype=np.int32)[:, None],
+            (Cz, z_sym.shape[2] * z_sym.shape[3]),
+        )
+        z_strings = rans.encode_batch(
+            z_sym.reshape(B, -1), ch_idx.reshape(-1), self.eb_state.table
+        )
+        idx_dev, means = self._params_from_zsym(z8)
+        y8, y16, yovf = self._ysym(y, means)
+        sym_dev = y8 if int(yovf) == 0 else y16
+        ysym_host = np.asarray(sym_dev, dtype=np.int32)
+        idx = np.asarray(idx_dev, dtype=np.int32)
+        y_strings = rans.encode_batch(
+            ysym_host.reshape(B, -1), idx.reshape(B, -1), self.gc_state.table
+        )
+        y_hat = self._yhat(sym_dev, means)  # stays on device
+        return y_hat, {
+            "strings": [y_strings, z_strings],
+            "shape": z_sym.shape[2:4],
+        }
+
+    def decompress(self, strings, shape):
+        """Returns y_hat ON DEVICE."""
+        y_strings, z_strings = strings
+        C = len(self.eb_state.medians)
+        H, W = shape
+        ch_idx = np.repeat(np.arange(C, dtype=np.int32), H * W)
+        z_sym = rans.decode_batch(
+            z_strings, ch_idx, self.eb_state.table
+        ).reshape(len(z_strings), C, H, W)
+        if z_sym.size and not (
+            z_sym.min() >= -128 and z_sym.max() <= 127
+        ):  # pragma: no cover - mirrors the encode fallback
+            return self._decompress_f32(strings, shape)
+        idx_dev, means = self._params_from_zsym(
+            jnp.asarray(z_sym.astype(np.int8))
+        )
+        idx = np.asarray(idx_dev, dtype=np.int32)
+        B = idx.shape[0]
+        y_sym = rans.decode_batch(
+            y_strings, idx.reshape(B, -1), self.gc_state.table
+        ).reshape(idx.shape)
+        fits8 = y_sym.size and y_sym.min() >= -128 and y_sym.max() <= 127
+        y_up = y_sym.astype(np.int8 if fits8 else np.int16)
+        return self._yhat(jnp.asarray(y_up), means)
+
+    # -- float fallback paths (also the reference-shaped formulation) --------
+    def _compress_f32(self, y: np.ndarray):
         z = np.asarray(self._encode_z(jnp.asarray(y)))
         z_strings = self.eb_state.compress(z)
         C = z.shape[-1]
@@ -279,19 +372,18 @@ class _HyperpriorState:
             jnp.asarray(self.gc_state.scale_table), jnp.asarray(scales)
         ))
         symbols = np.round(y - means).astype(np.int32)
-        y_strings = [
-            rans.encode_with_indexes(
-                symbols[i], indexes[i], self.gc_state.table
-            )
-            for i in range(symbols.shape[0])
-        ]
-        y_hat = symbols.astype(np.float32) + means
+        B = symbols.shape[0]
+        y_strings = rans.encode_batch(
+            symbols.reshape(B, -1), indexes.reshape(B, -1),
+            self.gc_state.table,
+        )
+        y_hat = jnp.asarray(symbols.astype(np.float32) + means)
         return y_hat, {
             "strings": [y_strings, z_strings],
             "shape": z.shape[1:3],
         }
 
-    def decompress(self, strings, shape):
+    def _decompress_f32(self, strings, shape):
         y_strings, z_strings = strings
         z_hat = self.eb_state.decompress(z_strings, tuple(shape))
         scales, means = jax.device_get(self._params(jnp.asarray(z_hat)))
@@ -299,15 +391,11 @@ class _HyperpriorState:
         indexes = np.asarray(gc.build_indexes(
             jnp.asarray(self.gc_state.scale_table), jnp.asarray(scales)
         ))
-        symbols = np.stack(
-            [
-                rans.decode_with_indexes(
-                    s, indexes[i].reshape(-1), self.gc_state.table
-                ).reshape(indexes[i].shape)
-                for i, s in enumerate(y_strings)
-            ]
-        )
-        return symbols.astype(np.float32) + means
+        B = indexes.shape[0]
+        symbols = rans.decode_batch(
+            y_strings, indexes.reshape(B, -1), self.gc_state.table
+        ).reshape(indexes.shape)
+        return jnp.asarray(symbols.astype(np.float32) + means)
 
 
 class ScaleSpaceFlowCodec(CompressionCodec):
@@ -355,32 +443,30 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         if not self.hp_states:
             raise RuntimeError("Uninitialized CDFs. Run update() first")
 
+    # The whole GOP chain stays on device: encode_keyframe/encode_inter and
+    # the decode mirrors take/return device arrays; only symbols cross the
+    # host-device link inside _HyperpriorState.
+
     def encode_keyframe(self, x):
-        y = np.asarray(self._img_encode(jnp.asarray(x)))
+        y = self._img_encode(jnp.asarray(x))
         y_hat, out = self.hp_states["img"].compress(y)
-        x_hat = np.asarray(self._img_decode(jnp.asarray(y_hat)))
+        x_hat = self._img_decode(y_hat)
         return x_hat, out
 
     def decode_keyframe(self, strings, shape):
         y_hat = self.hp_states["img"].decompress(strings, shape)
-        return np.asarray(self._img_decode(jnp.asarray(y_hat)))
+        return self._img_decode(y_hat)
 
     def encode_inter(self, x_cur, x_ref):
-        y_motion = np.asarray(
-            self._motion_encode(jnp.asarray(x_cur), jnp.asarray(x_ref))
-        )
+        x_cur = jnp.asarray(x_cur)
+        x_ref = jnp.asarray(x_ref)
+        y_motion = self._motion_encode(x_cur, x_ref)
         y_motion_hat, out_motion = self.hp_states["motion"].compress(y_motion)
-        x_pred = np.asarray(
-            self._motion_decode_predict(
-                jnp.asarray(y_motion_hat), jnp.asarray(x_ref)
-            )
-        )
+        x_pred = self._motion_decode_predict(y_motion_hat, x_ref)
         x_res = x_cur - x_pred
-        y_res = np.asarray(self._res_encode(jnp.asarray(x_res)))
+        y_res = self._res_encode(x_res)
         y_res_hat, out_res = self.hp_states["res"].compress(y_res)
-        x_res_hat = np.asarray(
-            self._res_decode(jnp.asarray(y_res_hat), jnp.asarray(y_motion_hat))
-        )
+        x_res_hat = self._res_decode(y_res_hat, y_motion_hat)
         x_rec = x_pred + x_res_hat
         return x_rec, {
             "strings": {
@@ -397,17 +483,11 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         y_motion_hat = self.hp_states["motion"].decompress(
             strings["motion"], shapes["motion"]
         )
-        x_pred = np.asarray(
-            self._motion_decode_predict(
-                jnp.asarray(y_motion_hat), jnp.asarray(x_ref)
-            )
-        )
+        x_pred = self._motion_decode_predict(y_motion_hat, jnp.asarray(x_ref))
         y_res_hat = self.hp_states["res"].decompress(
             strings["residual"], shapes["residual"]
         )
-        x_res_hat = np.asarray(
-            self._res_decode(jnp.asarray(y_res_hat), jnp.asarray(y_motion_hat))
-        )
+        x_res_hat = self._res_decode(y_res_hat, y_motion_hat)
         return x_pred + x_res_hat
 
     def compress(self, frames):
@@ -432,4 +512,5 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         for i in range(1, len(strings)):
             x_ref = self.decode_inter(x_ref, strings[i], shapes[i])
             frames.append(x_ref)
-        return np.stack(frames, axis=1)
+        # one stacked transfer instead of one per frame
+        return np.asarray(jnp.stack(frames, axis=1))
