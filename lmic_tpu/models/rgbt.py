@@ -450,18 +450,20 @@ class GuidedCodec(JointARCodec):
 
     def compress(self, x):
         out = super().compress(x)
-        # hidden analysis maps (ga*), as the reference emits on compress
-        _, hidden = jax.device_get(self._g_a_hidden(jnp.asarray(x)))
-        out["hidden"] = jax.tree.map(np.asarray, hidden)
+        # hidden analysis maps (ga*), as the reference emits on compress;
+        # left on device — the consumer (master codec / training) is a
+        # device computation, and the maps are large
+        _, hidden = self._g_a_hidden(jnp.asarray(x))
+        out["hidden"] = hidden
         return out
 
     def decompress(self, strings, shape):
         self._check_updated()
         y_hat = self._decode_y_hat(strings, shape)
-        x_hat, hidden = jax.device_get(self._g_s_hidden(jnp.asarray(y_hat)))
+        x_hat, hidden = self._g_s_hidden(jnp.asarray(y_hat))
         return {
-            "x_hat": np.clip(np.asarray(x_hat), 0, 1),
-            "hidden": jax.tree.map(np.asarray, hidden),
+            "x_hat": jnp.clip(x_hat, 0.0, 1.0),
+            "hidden": hidden,
         }
 
 
@@ -640,17 +642,17 @@ class MasterCodec(JointARCodec):
 
     def compress(self, x, guided_hat):
         self._check_updated()
-        x_feature, guided_align, beta, gamma = jax.device_get(
-            self._features(jnp.asarray(x), jnp.asarray(guided_hat))
+        # feature/alignment chain stays on device; only (y, z) cross for
+        # the host coder, and beta/gamma as transmitted side info
+        x_feature, guided_align, beta, gamma = self._features(
+            jnp.asarray(x), jnp.asarray(guided_hat)
         )
         y, z = jax.device_get(
-            self._analyze_features(
-                jnp.asarray(x_feature), jnp.asarray(guided_align)
-            )
+            self._analyze_features(x_feature, guided_align)
         )
         out = self._code_y_z(y, z)
-        out["beta"] = beta
-        out["gamma"] = gamma
+        out["beta"] = np.asarray(beta)
+        out["gamma"] = np.asarray(gamma)
         return out
 
     def decompress(self, out_net, out_net_guided):
@@ -658,19 +660,15 @@ class MasterCodec(JointARCodec):
         strings, shape = out_net["strings"], out_net["shape"]
         beta, gamma = out_net["beta"], out_net["gamma"]
         guided_hidden = out_net_guided["hidden"]
-        guided_align = np.asarray(
-            self._align_from(
-                jnp.asarray(out_net_guided["x_hat"]),
-                jnp.asarray(beta),
-                jnp.asarray(gamma),
-            )
+        guided_align = self._align_from(
+            jnp.asarray(out_net_guided["x_hat"]),
+            jnp.asarray(beta),
+            jnp.asarray(gamma),
         )
         y_hat = self._decode_y_hat(strings, shape)
-        x_hat = np.asarray(
-            self._synthesize(
-                jnp.asarray(y_hat),
-                jax.tree.map(jnp.asarray, guided_hidden),
-                jnp.asarray(guided_align),
-            )
+        x_hat = self._synthesize(
+            jnp.asarray(y_hat),
+            jax.tree.map(jnp.asarray, guided_hidden),
+            guided_align,
         )
-        return {"x_hat": np.clip(x_hat, 0, 1)}
+        return {"x_hat": jnp.clip(x_hat, 0.0, 1.0)}
