@@ -178,3 +178,41 @@ class TestShardedCodec:
         r1 = single.decompress(out1["strings"], out1["shape"], u8=True)
         r2 = sharded.decompress(out2["strings"], out2["shape"], u8=True)
         np.testing.assert_array_equal(r1["x_hat"], r2["x_hat"])
+
+
+class TestDeterminism:
+    def test_same_seed_same_losses(self):
+        """Reference test_train.py compares a seeded run against a golden
+        log; here two in-process runs with the same seed must produce
+        identical metrics (and a different seed must not)."""
+        import jax
+        import jax.numpy as jnp
+
+        from lmic_tpu.models.image import FactorizedPrior
+        from lmic_tpu.utils.train import (
+            create_train_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        def run(seed):
+            module = FactorizedPrior(N=16, M=24)
+            x = jax.random.uniform(jax.random.key(7), (2, 64, 64, 3))
+            v = module.init(
+                {"params": jax.random.key(seed),
+                 "noise": jax.random.key(seed + 1)}, x
+            )
+            opt = make_optimizer()
+            state = create_train_state(v["params"], opt)
+            step = make_train_step(module, opt, lmbda=1024)
+            losses = []
+            for i in range(3):
+                state, m = step(state, x, jax.random.key(seed + 2))
+                losses.append(float(m["loss"]))
+            return losses
+
+        a = run(0)
+        b = run(0)
+        c = run(1)
+        assert a == b
+        assert a != c
