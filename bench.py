@@ -33,9 +33,34 @@ def _build_and_warm(H, W, B, x):
     return codec
 
 
+def _probe_tpu(timeout_s: float = 150.0) -> bool:
+    """The tunnel-attached TPU can wedge: device ops then HANG rather than
+    error, which would turn the benchmark into a timeout with no number.
+    Probe device init in a subprocess with a hard timeout first."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("LMIC_PLATFORM"):
+        return True  # explicit platform choice: trust it
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def main():
     import os
     import sys
+
+    if not _probe_tpu():
+        print("TPU probe failed/hung; benchmarking on CPU backend",
+              file=sys.stderr)
+        os.environ["LMIC_PLATFORM"] = "cpu"
 
     H, W, B = 768, 512, 8
     rng = np.random.default_rng(0)
