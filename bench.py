@@ -78,7 +78,7 @@ def main():
         os.environ["LMIC_PALLAS"] = "0"
         codec = _build_and_warm(H, W, B, x)
 
-    iters = 10
+    iters = 16
     # steady-state pipeline: the NEXT batch's device encode (and its
     # device->host symbol transfer) is dispatched before this batch's host
     # entropy coding runs, so link+device time overlaps host rANS time.
