@@ -99,6 +99,10 @@ class FactorizedPriorCodec(CompressionCodec):
         self.eb_state = eb_update(
             eb, {"params": self.variables["params"]["entropy_bottleneck"]}
         )
+        # the u8 fast-path jits capture medians from the previous state
+        for name in ("_enc_u8", "_enc_u8_i8", "_dec_u8"):
+            if hasattr(self, name):
+                delattr(self, name)
         return True
 
     def _build_u8_fns(self):
@@ -348,6 +352,11 @@ class HyperpriorCodec(CompressionCodec):
         if scale_table is None:
             scale_table = get_scale_table()
         self.gc_state = GaussianConditional().update(scale_table)
+        # the u8 fast-path jits capture medians/scale table
+        for name in ("_analyze_u8", "_params_from_zsym", "_ysym",
+                     "_synth_u8"):
+            if hasattr(self, name):
+                delattr(self, name)
         return True
 
     def _check_updated(self):

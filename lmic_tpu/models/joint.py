@@ -261,6 +261,8 @@ class JointARCodec(CompressionCodec):
         if scale_table is None:
             scale_table = get_scale_table()
         self.gc_state = GaussianConditional().update(scale_table)
+        # cached wavefront scans captured the previous scale table
+        self._encode_scan_cache.clear()
         return True
 
     def _check_updated(self):

@@ -203,3 +203,43 @@ class TestHyperpriorU8FastPath:
         assert out8["strings"][1] == outf["strings"][1]
         want = np.round(np.clip(recf["x_hat"], 0, 1) * 255).astype(np.uint8)
         np.testing.assert_array_equal(rec8["x_hat"], want)
+
+
+class TestUpdateInvalidation:
+    def test_reupdate_refreshes_cached_jits(self):
+        """update(force=True) after use must invalidate captured coding
+        state (u8 jits capture medians; AR scans capture the scale table)."""
+        import jax
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_model(
+            "bmshj2018-hyperprior", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        codec.update(force=True)
+        x8 = (np.random.default_rng(0).random((1, 64, 64, 3)) * 255
+              ).astype(np.uint8)
+        out1 = codec.compress(x8)
+        codec.update(force=True)  # same params -> same tables
+        out2 = codec.compress(x8)
+        assert out1["strings"][0] == out2["strings"][0]
+        rec = codec.decompress(out2["strings"], out2["shape"], u8=True)
+        assert rec["x_hat"].shape == x8.shape
+
+    def test_ar_scan_cache_cleared_on_update(self):
+        import jax
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_model(
+            "mbt2018", 1, key=jax.random.key(0), input_size=(64, 64)
+        )
+        codec.update(force=True)
+        x = np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
+        out = codec.compress(x)
+        assert codec._encode_scan_cache
+        codec.update(force=True)
+        assert not codec._encode_scan_cache
+        out2 = codec.compress(x)
+        assert out["strings"][0] == out2["strings"][0]
