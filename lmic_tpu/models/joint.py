@@ -130,13 +130,22 @@ def _wavefront_positions(H: int, W: int):
     return 3 * (H - 1) + (W - 1) + 1  # number of steps
 
 
+def wavefront_rows(H: int, W: int) -> int:
+    """Max simultaneously-valid rows on a wavefront t = 3h + w: consecutive
+    valid h span w in steps of 3, so at most ceil(W/3) + 1 (clamped to H).
+    Processing only this window instead of all H rows cuts the per-step
+    context/MLP work ~3x for typical aspect ratios."""
+    return min(H, (W + 2) // 3 + 1)
+
+
 def make_wavefront_step(module, variables, H: int, W: int, scale_table):
     """Build the shared per-wavefront computation.
 
-    Given the padded y_hat buffer and hyper params, computes for every row h
-    (pixel (h, w=t-3h), masked to the valid range): context features, fused
-    (scales, means), and scale-table indexes. Used identically by the encode
-    and decode scans so entropy parameters are bit-identical on both sides.
+    Given the padded y_hat buffer and hyper params, computes for each row of
+    the wavefront's valid-row window (pixel (h, w=t-3h), masked): context
+    features, fused (scales, means), and scale-table indexes. Used
+    identically by the encode and decode scans so entropy parameters are
+    bit-identical on both sides.
     """
     M = module.M
     cls = type(module)
@@ -147,11 +156,15 @@ def make_wavefront_step(module, variables, H: int, W: int, scale_table):
     ctx_bias = variables["params"]["context_prediction"]["bias"]
     table = jnp.asarray(scale_table)
 
-    h_vec = jnp.arange(H)
+    R = wavefront_rows(H, W)
 
     def step(t, y_hat_pad, params):
         """y_hat_pad: (H+4, W+4, M); params: (H, W, 2M).
-        Returns (w, valid, scales, means, indexes) with leading dim H."""
+        Returns (h, w, valid, scales, means, indexes) with leading dim R
+        (the wavefront's valid-row window, h ascending)."""
+        # valid h range: ceil((t-W+1)/3) <= h <= t//3; clamp the R-window
+        h0 = jnp.clip((t - W + 3) // 3, 0, H - R)
+        h_vec = h0 + jnp.arange(R)
         w_vec = t - 3 * h_vec
         valid = (w_vec >= 0) & (w_vec < W)
         w_safe = jnp.clip(w_vec, 0, W - 1)
@@ -175,9 +188,9 @@ def make_wavefront_step(module, variables, H: int, W: int, scale_table):
             jnp.concatenate([hyper_p, ctx], axis=-1)[None, :, None, :],
             method=cls.entropy_parameters,
         )[0, :, 0, :]
-        scales, means = jnp.split(fused, 2, axis=-1)  # (H, M) each
-        indexes = gc.build_indexes(table, scales)  # (H, M) int32
-        return w_safe, valid, scales, means, indexes
+        scales, means = jnp.split(fused, 2, axis=-1)  # (R, M) each
+        indexes = gc.build_indexes(table, scales)  # (R, M) int32
+        return h_vec, w_safe, valid, scales, means, indexes
 
     return step
 
@@ -211,14 +224,13 @@ def _ar_decode_device():
         return None
 
 
-def _scatter_wavefront(y_hat_pad, w_safe, valid, y_vals):
-    """Write one wavefront's (H, M) values into the padded buffer with a
+def _scatter_wavefront(y_hat_pad, h_vec, w_safe, valid, y_vals):
+    """Write one wavefront's (R, M) values into the padded buffer with a
     single batched scatter (rows are distinct, so no conflicts). Invalid
     rows keep the buffer's current contents."""
-    H = w_safe.shape[0]
-    rows = jnp.arange(H) + PAD
+    rows = h_vec + PAD
     cols = w_safe + PAD
-    cur = y_hat_pad[rows, cols]  # (H, M) gather
+    cur = y_hat_pad[rows, cols]  # (R, M) gather
     new = jnp.where(valid[:, None], y_vals, cur)
     return y_hat_pad.at[rows, cols].set(new)
 
@@ -297,15 +309,15 @@ class JointARCodec(CompressionCodec):
 
         def body(carry, t):
             y_hat_pad = carry["y_hat"]
-            w_safe, valid, scales, means, indexes = step_fn(
+            h_vec, w_safe, valid, scales, means, indexes = step_fn(
                 t, y_hat_pad, carry["params"]
             )
-            y_rows = carry["y"][jnp.arange(H), w_safe]  # (H, M)
+            y_rows = carry["y"][h_vec, w_safe]  # (R, M)
             symbols = jnp.round(y_rows - means).astype(jnp.int32)
             y_vals = symbols.astype(jnp.float32) + means
 
             carry["y_hat"] = _scatter_wavefront(
-                y_hat_pad, w_safe, valid, y_vals
+                y_hat_pad, h_vec, w_safe, valid, y_vals
             )
             return carry, (symbols, indexes, valid)
 
@@ -317,7 +329,7 @@ class JointARCodec(CompressionCodec):
                 "params": params,
             }
             carry, outs = jax.lax.scan(body, carry, jnp.arange(T))
-            symbols, indexes, valid = outs  # (T, H, M), (T, H, M), (T, H)
+            symbols, indexes, valid = outs  # (T, R, M), (T, R, M), (T, R)
             return symbols, indexes, valid, carry["y_hat"]
 
         fn = jax.jit(run)
@@ -349,7 +361,7 @@ class JointARCodec(CompressionCodec):
             symbols, indexes, valid, _ = jax.device_get(
                 scan(jnp.asarray(y[i]), jnp.asarray(params[i]))
             )
-            sel = valid.reshape(-1)  # (T*H,)
+            sel = valid.reshape(-1)  # (T*R,)
             sym_flat = symbols.reshape(-1, M)[sel].reshape(-1)
             idx_flat = indexes.reshape(-1, M)[sel].reshape(-1)
             y_strings.append(
@@ -376,11 +388,12 @@ class JointARCodec(CompressionCodec):
             module, variables, H, W, self.gc_state.scale_table
         )
         decoder_box = {"dec": None}
+        R = wavefront_rows(H, W)
 
         def host_decode(indexes, valid):
             indexes = np.asarray(indexes)
             valid = np.asarray(valid)
-            out = np.zeros((H, M), np.int32)
+            out = np.zeros((R, M), np.int32)
             if valid.any():
                 flat = indexes[valid].reshape(-1)
                 vals = decoder_box["dec"].decode_stream(
@@ -391,12 +404,12 @@ class JointARCodec(CompressionCodec):
 
         def body(carry, t):
             y_hat_pad = carry["y_hat"]
-            w_safe, valid, scales, means, indexes = step_fn(
+            h_vec, w_safe, valid, scales, means, indexes = step_fn(
                 t, y_hat_pad, carry["params"]
             )
             symbols = io_callback(
                 host_decode,
-                jax.ShapeDtypeStruct((H, M), jnp.int32),
+                jax.ShapeDtypeStruct((R, M), jnp.int32),
                 indexes,
                 valid,
                 ordered=True,
@@ -404,7 +417,7 @@ class JointARCodec(CompressionCodec):
             y_vals = symbols.astype(jnp.float32) + means
 
             carry["y_hat"] = _scatter_wavefront(
-                y_hat_pad, w_safe, valid, y_vals
+                y_hat_pad, h_vec, w_safe, valid, y_vals
             )
             return carry, None
 
