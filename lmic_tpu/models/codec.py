@@ -392,13 +392,27 @@ class HyperpriorCodec(CompressionCodec):
         )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
-    def _compress_u8(self, x: np.ndarray):
+    def compress_async(self, x):
+        """Dispatch the device half of compress (uint8 fast path) and
+        return a finalizer running the host entropy coding — the next
+        batch's device pass overlaps this batch's coding."""
+        self._check_updated()
+        x = np.asarray(x)
+        assert x.dtype == np.uint8, "compress_async: uint8 fast path only"
         if not hasattr(self, "_analyze_u8"):
             self._build_u8_fns()
         x_dev = jnp.asarray(x)
-        y_dev, z8, zovf = self._analyze_u8(x_dev)
+        pending = self._analyze_u8(x_dev)  # async dispatch
+        # the z->params->y-symbol chain is dispatched in finalize (it
+        # depends on the overflow check, which must block anyway)
+        return lambda: self._finish_compress_u8(x, pending)
+
+    def _finish_compress_u8(self, x: np.ndarray, pending):
+        y_dev, z8, zovf = pending
         if int(zovf) != 0:  # pragma: no cover - extreme hyper latents
             return self.compress(x.astype(np.float32) / 255.0)
+        idx_dev, means_dev = self._params_from_zsym(z8)   # async
+        y_pend = self._ysym(y_dev, means_dev)             # async
         z_sym = np.asarray(z8, dtype=np.int32)
         B, Cz = z_sym.shape[:2]
         ch_idx = np.broadcast_to(
@@ -408,8 +422,7 @@ class HyperpriorCodec(CompressionCodec):
         z_strings = rans.encode_batch(
             z_sym.reshape(B, -1), ch_idx.reshape(-1), self.eb_state.table
         )
-        idx_dev, means_dev = self._params_from_zsym(z8)
-        y8, y16, yovf = self._ysym(y_dev, means_dev)
+        y8, y16, yovf = y_pend
         ysym = np.asarray(
             y8 if int(yovf) == 0 else y16, dtype=np.int32
         )
@@ -420,7 +433,23 @@ class HyperpriorCodec(CompressionCodec):
         return {"strings": [y_strings, z_strings],
                 "shape": z_sym.shape[2:4]}
 
-    def _decompress_u8(self, strings, shape):
+    def _compress_u8(self, x: np.ndarray):
+        if not hasattr(self, "_analyze_u8"):
+            self._build_u8_fns()
+        x_dev = jnp.asarray(x)
+        pending = self._analyze_u8(x_dev)
+        return self._finish_compress_u8(x, pending)
+
+    def decompress_async(self, strings, shape):
+        """Host decode + device synthesis dispatch; finalizer blocks on the
+        uint8 reconstruction."""
+        self._check_updated()
+        out = self._decompress_u8(strings, shape, _async=True)
+        if callable(out):
+            return out
+        return lambda: out
+
+    def _decompress_u8(self, strings, shape, _async: bool = False):
         if not hasattr(self, "_analyze_u8"):
             self._build_u8_fns()
         y_strings, z_strings = strings[0], strings[1]
@@ -447,8 +476,10 @@ class HyperpriorCodec(CompressionCodec):
             y_strings, idx.reshape(B, -1), self.gc_state.table
         ).reshape(idx.shape)
         y_up = y_sym.astype(_narrowest_int(y_sym))
-        x_u8 = np.asarray(self._synth_u8(jnp.asarray(y_up), means_dev))
-        return {"x_hat": x_u8}
+        x_dev = self._synth_u8(jnp.asarray(y_up), means_dev)  # async
+        if _async:
+            return lambda: {"x_hat": np.asarray(x_dev)}
+        return {"x_hat": np.asarray(x_dev)}
 
     def decompress(self, strings, shape, u8: bool = False):
         self._check_updated()

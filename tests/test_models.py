@@ -243,3 +243,24 @@ class TestUpdateInvalidation:
         assert not codec._encode_scan_cache
         out2 = codec.compress(x)
         assert out["strings"][0] == out2["strings"][0]
+
+
+class TestHyperpriorAsync:
+    def test_async_matches_sync(self):
+        import jax
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_model(
+            "mbt2018-mean", 1, key=jax.random.key(0), input_size=(64, 64)
+        )
+        codec.update(force=True)
+        x8 = (np.random.default_rng(0).random((2, 64, 64, 3)) * 255
+              ).astype(np.uint8)
+        out_s = codec.compress(x8)
+        out_a = codec.compress_async(x8)()
+        assert out_s["strings"][0] == out_a["strings"][0]
+        assert out_s["strings"][1] == out_a["strings"][1]
+        rec_s = codec.decompress(out_s["strings"], out_s["shape"], u8=True)
+        rec_a = codec.decompress_async(out_a["strings"], out_a["shape"])()
+        np.testing.assert_array_equal(rec_s["x_hat"], rec_a["x_hat"])
