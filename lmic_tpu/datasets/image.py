@@ -182,6 +182,15 @@ class ImageFolderRGB:
         rng = self._rng
         H, W = self.crop_size
 
+        if self.channel == 1:
+            # thermal master: the reference applies NO scale/crop here —
+            # full thermal (640x512) + full resized RGB guide (1280x1024),
+            # synchronized flip only (image_rgbt_rgb.py:133-141)
+            if rng.random() > 0.5:
+                guided = guided[:, ::-1].copy()
+                x = x[:, ::-1].copy()
+            return x, guided
+
         # random resize (guide scaled, master kept at exactly 2x guide)
         scale = rng.choice(TRAIN_SCALE_ARRAY)
         sh = int(guided.shape[0] * scale)

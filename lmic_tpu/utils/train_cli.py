@@ -134,8 +134,17 @@ def train_single(args):
         matmul_precision="bfloat16" if args.bf16 else None,
     )
 
-    ds = ImageFolder(args.dataset, "train",
-                     patch_size=tuple(args.patch_size), seed=args.seed)
+    if args.channel == 3:
+        ds = ImageFolder(args.dataset, "train",
+                         patch_size=tuple(args.patch_size), seed=args.seed)
+    else:
+        # channel-aware loader (grayscale modalities stay single-channel,
+        # reference image_rgbt_t.py semantics)
+        from lmic_tpu.datasets import ImageFolderT
+
+        ds = ImageFolderT(args.dataset, "train",
+                          patch_size=tuple(args.patch_size),
+                          channel=args.channel, seed=args.seed)
     dl = DataLoader(ds, args.batch_size, seed=args.seed)
     key = jax.random.key(args.seed)
 
@@ -197,12 +206,18 @@ def train_master(args):
                         channel=args.channel, seed=args.seed)
     dl = DataLoader(ds, args.batch_size, seed=args.seed)
 
-    # build master with correct shapes
+    # build master with role-correct shapes: the RGB modality is the 2x
+    # stream (channel=3 -> master is RGB at 2x; channel=1 -> guide is RGB
+    # at 2x and the thermal master stays at crop_size)
     master_module = zoo.make_module("master", args.quality,
                                     channel=args.channel)
     H, W = args.crop_size
-    xm = jnp.zeros((1, 2 * H, 2 * W, 3 if args.channel == 3 else 1))
-    xg = jnp.zeros((1, H, W, 1 if args.channel == 3 else 3))
+    if args.channel == 3:
+        xm = jnp.zeros((1, 2 * H, 2 * W, 3))
+        xg = jnp.zeros((1, H, W, 1))
+    else:
+        xm = jnp.zeros((1, H, W, 1))
+        xg = jnp.zeros((1, 2 * H, 2 * W, 3))
     g_out = guided_codec.module.apply(
         {"params": guided_params}, xg, training=False
     )

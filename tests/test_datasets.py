@@ -221,3 +221,29 @@ class TestImageFolderTestPairing:
         x, guided = ds[0]
         assert x.shape == (256, 320, 3)        # RGB master at 2x
         assert guided.shape == (128, 160, 1)   # thermal guide at 1x
+
+
+class TestImageFolderRGBChannel1:
+    def test_thermal_master_full_frames_flip_only(self, tmp_path):
+        from PIL import Image
+
+        from lmic_tpu.datasets.image import ImageFolderRGB
+
+        (tmp_path / "thermal_8_bit").mkdir()
+        (tmp_path / "RGB").mkdir()
+        rng = np.random.default_rng(0)
+        t = (rng.random((512, 640)) * 255).astype(np.uint8)
+        Image.fromarray(t, "L").save(
+            tmp_path / "thermal_8_bit" / "FLIR_1.jpeg"
+        )
+        c = (rng.random((700, 900, 3)) * 255).astype(np.uint8)
+        Image.fromarray(c).save(tmp_path / "RGB" / "FLIR_1.jpg")
+
+        ds = ImageFolderRGB(
+            str(tmp_path / "thermal_8_bit"), channel=1, seed=0
+        )
+        x, guided = ds[0]
+        # reference semantics: full thermal master, RGB guide resized to
+        # (1280, 1024); no scale/crop for channel=1
+        assert x.shape == (512, 640, 1)
+        assert guided.shape == (1024, 1280, 3)
