@@ -355,3 +355,15 @@ def test_update_model_from_torch(tmp_path):
     o = codec.compress(x)
     r = codec.decompress(o["strings"], o["shape"])
     assert r["x_hat"].shape == x.shape
+
+
+def test_quality_tables_match_reference():
+    """Per-quality (N, M) width tables match zoo/image.py:189-246 exactly."""
+    from compressai.zoo.image import cfgs as ref_cfgs
+
+    from lmic_tpu.zoo import cfgs as our_cfgs
+
+    for arch in ("bmshj2018-factorized", "bmshj2018-hyperprior",
+                 "mbt2018-mean", "mbt2018", "cheng2020-anchor",
+                 "cheng2020-attn"):
+        assert dict(our_cfgs[arch]) == dict(ref_cfgs[arch]), arch
