@@ -1,36 +1,37 @@
 """End-to-end codec throughput benchmark (run by the driver on real TPU).
 
-Measures full encode+decode — device transforms AND host rANS coding — in
-megapixels/second on Kodak-sized (768x512) images, bmshj2018-factorized q1
-geometry (N=128, M=192), and prints one JSON line.
+Covers all five BASELINE.json configs at Kodak geometry (768x512), q=1,
+measuring FULL encode+decode — device transforms AND host rANS coding — in
+megapixels/second. Prints one JSON line per config as it completes, then a
+final headline line with the geometric-mean speedup (the driver parses the
+LAST JSON line).
 
-Baseline: the CPU reference codes a 0.393 MP Kodak image in ~0.62 s encode +
-~0.83 s decode at q1 (BASELINE.md) => 0.27 MP/s enc+dec. vs_baseline is the
-speedup over that number; the north-star is >= 10x.
+Baselines (enc+dec MP/s, q1, 0.393 MP Kodak image) come from the reference's
+own published CPU timings in
+/root/reference/CompressAI/results/kodak/compressai-*_mse_cpu.json
+(q1 encoding_time + decoding_time). ssf2020 publishes no timing, so its
+baseline was measured once on this host by running the actual reference
+torch model (torch 1-thread, 3-frame 768x512 GOP: enc 6.27 s + dec 3.93 s);
+this host reproduces the published factorized numbers to within 5%
+(0.64/0.89 s vs published 0.70/0.90 s), so provenance is comparable.
 """
 
 import json
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-BASELINE_MP_S = 0.27  # CPU reference, factorized q1, enc+dec combined
+# config -> (baseline enc+dec MP/s, provenance)
+BASELINES = {
+    "bmshj2018-factorized": (0.2465, "published_cpu_json_q1"),
+    "bmshj2018-hyperprior": (0.2445, "published_cpu_json_q1"),
+    "mbt2018": (0.02527, "published_cpu_json_q1"),
+    "cheng2020-attn": (0.02953, "published_cpu_json_q1"),
+    "ssf2020": (0.1156, "reference_measured_on_this_host"),
+}
 
-
-def _build_and_warm(H, W, B, x):
-    from lmic_tpu import zoo
-
-    codec = zoo.create_model(
-        "bmshj2018-factorized", quality=1, key=jax.random.key(0),
-        input_size=(H, W),
-    )
-    codec.update(force=True)
-    out = codec.compress(x)
-    rec = codec.decompress(out["strings"], out["shape"], u8=True)
-    assert rec["x_hat"].shape == x.shape
-    return codec
+H, W = 768, 512  # Kodak geometry
 
 
 def _probe_tpu(timeout_s: float = 150.0) -> bool:
@@ -39,7 +40,6 @@ def _probe_tpu(timeout_s: float = 150.0) -> bool:
     Probe device init in a subprocess with a hard timeout first."""
     import os
     import subprocess
-    import sys
 
     if os.environ.get("LMIC_PLATFORM"):
         return True  # explicit platform choice: trust it
@@ -53,37 +53,32 @@ def _probe_tpu(timeout_s: float = 150.0) -> bool:
         return False
 
 
-def main():
-    import os
-    import sys
+def _median_mp_s(times, megapixels):
+    return megapixels / float(np.median(times))
 
-    if not _probe_tpu():
-        print("TPU probe failed/hung; benchmarking on CPU backend",
-              file=sys.stderr)
-        os.environ["LMIC_PLATFORM"] = "cpu"
 
-    H, W, B = 768, 512, 8
+def bench_pipelined(arch, B=8, iters=12):
+    """factorized/hyperprior: steady-state async pipeline — the NEXT batch's
+    device encode (and its device->host symbol transfer) is dispatched
+    before this batch's host entropy coding runs, so link+device time
+    overlaps host rANS time."""
+    import jax
+
+    from lmic_tpu import zoo
+
+    codec = zoo.create_model(
+        arch, quality=1, key=jax.random.key(0), input_size=(H, W)
+    )
+    codec.update(force=True)
     rng = np.random.default_rng(0)
     # uint8 input: the production fast path (images are uint8 at rest; the
-    # host<->device link moves uint8 pixels and int16 symbols)
+    # host<->device link moves uint8 pixels and int8/int16 symbols)
     x = (rng.random((B, H, W, 3)) * 255).astype(np.uint8)
 
-    # warmup (compile); if a Pallas kernel fails to compile on this
-    # platform, retry once on the pure-XLA path rather than losing the run
-    try:
-        codec = _build_and_warm(H, W, B, x)
-    except Exception as e:  # pragma: no cover - platform-specific
-        print(f"warmup failed ({type(e).__name__}: {e}); "
-              "retrying with LMIC_PALLAS=0", file=sys.stderr)
-        os.environ["LMIC_PALLAS"] = "0"
-        codec = _build_and_warm(H, W, B, x)
+    out = codec.compress(x)  # warmup/compile
+    rec = codec.decompress(out["strings"], out["shape"], u8=True)
+    assert rec["x_hat"].shape == x.shape
 
-    iters = 16
-    # steady-state pipeline: the NEXT batch's device encode (and its
-    # device->host symbol transfer) is dispatched before this batch's host
-    # entropy coding runs, so link+device time overlaps host rANS time.
-    # Per-iteration times -> median throughput (the tunnel's bandwidth
-    # fluctuates run to run; the median is the honest steady-state number)
     times = []
     t_prev = time.perf_counter()
     fin_enc = codec.compress_async(x)
@@ -97,20 +92,119 @@ def main():
         now = time.perf_counter()
         times.append(now - t_prev)
         t_prev = now
+    return _median_mp_s(times, B * H * W / 1e6)
 
-    megapixels = B * H * W / 1e6
-    mp_s = megapixels / float(np.median(times))
-    print(
-        json.dumps(
-            {
-                "metric": "factorized_q1_encdec_throughput",
-                "value": round(mp_s, 3),
-                "unit": "MP/s",
-                "vs_baseline": round(mp_s / BASELINE_MP_S, 2),
-            }
-        )
+
+def bench_ar(arch, B=2, iters=3):
+    """mbt2018/cheng2020-attn: wavefront-scan AR codec, synchronous
+    compress+decompress per batch (the scans are the serial bottleneck)."""
+    import jax
+
+    from lmic_tpu import zoo
+
+    codec = zoo.create_model(
+        arch, quality=1, key=jax.random.key(0), input_size=(H, W)
     )
+    codec.update(force=True)
+    rng = np.random.default_rng(0)
+    x = rng.random((B, H, W, 3), dtype=np.float32)
+
+    out = codec.compress(x)  # warmup/compile (1-2 min on TPU)
+    rec = codec.decompress(out["strings"], out["shape"])
+    assert rec["x_hat"].shape == x.shape
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = codec.compress(x)
+        rec = codec.decompress(out["strings"], out["shape"])
+        assert rec["x_hat"].shape == x.shape
+        times.append(time.perf_counter() - t0)
+    return _median_mp_s(times, B * H * W / 1e6)
+
+
+def bench_video(T=3, iters=4):
+    """ssf2020: 3-frame GOP (I + 2 P), full compress+decompress."""
+    import jax
+
+    from lmic_tpu import zoo
+
+    codec = zoo.create_video_model(
+        "ssf2020", quality=1, key=jax.random.key(0), input_size=(H, W)
+    )
+    codec.update(force=True)
+    rng = np.random.default_rng(0)
+    frames = rng.random((1, T, H, W, 3), dtype=np.float32)
+
+    strings, shapes = codec.compress(frames)  # warmup/compile
+    rec = codec.decompress(strings, shapes)
+    assert rec.shape == frames.shape
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        strings, shapes = codec.compress(frames)
+        rec = codec.decompress(strings, shapes)
+        assert rec.shape == frames.shape
+        times.append(time.perf_counter() - t0)
+    return _median_mp_s(times, T * H * W / 1e6)
+
+
+def main():
+    import os
+
+    if not _probe_tpu():
+        print("TPU probe failed/hung; benchmarking on CPU backend",
+              file=sys.stderr)
+        os.environ["LMIC_PLATFORM"] = "cpu"
+
+    only = os.environ.get("LMIC_BENCH_CONFIGS")
+    selected = set(only.split(",")) if only else set(BASELINES)
+
+    runners = {
+        "bmshj2018-factorized": lambda: bench_pipelined(
+            "bmshj2018-factorized"),
+        "bmshj2018-hyperprior": lambda: bench_pipelined(
+            "bmshj2018-hyperprior"),
+        "mbt2018": lambda: bench_ar("mbt2018"),
+        "cheng2020-attn": lambda: bench_ar("cheng2020-attn"),
+        "ssf2020": bench_video,
+    }
+
+    speedups = []
+    for name, run in runners.items():
+        if name not in selected:
+            continue
+        baseline, provenance = BASELINES[name]
+        try:
+            mp_s = run()
+        except Exception as e:  # keep the bench alive if one config breaks
+            print(f"{name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            continue
+        vs = mp_s / baseline
+        speedups.append(vs)
+        print(json.dumps({
+            "metric": f"{name}_q1_encdec_throughput",
+            "value": round(mp_s, 4),
+            "unit": "MP/s",
+            "vs_baseline": round(vs, 2),
+            "baseline_mp_s": baseline,
+            "baseline_provenance": provenance,
+        }), flush=True)
+
+    if not speedups:
+        print(json.dumps({"metric": "encdec_speedup_geomean",
+                          "value": None, "unit": "x", "vs_baseline": None}))
+        return 1
+    geomean = float(np.exp(np.mean(np.log(speedups))))
+    print(json.dumps({
+        "metric": "encdec_speedup_geomean_vs_cpu_reference",
+        "value": round(geomean, 2),
+        "unit": "x",
+        "vs_baseline": round(geomean, 2),
+        "n_configs": len(speedups),
+    }))
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
