@@ -318,16 +318,21 @@ class HyperpriorCodec(CompressionCodec):
             scales, means = module.apply(
                 variables, z_hat, method=cls.hyper_to_params
             )
-            indexes = gc.build_indexes(table, scales).astype(jnp.uint8)
+            # indexes leave the device channel-major so the host coder's
+            # flatten matches the reference's NCHW symbol order exactly
+            indexes = jnp.moveaxis(
+                gc.build_indexes(table, scales), -1, 1
+            ).astype(jnp.uint8)
             return indexes, means
 
         def ysym(y, means):
             sym = jnp.round(y - means if means is not None else y)
             ovf = jnp.sum((sym < -128) | (sym > 127)).astype(jnp.int32)
+            sym = jnp.moveaxis(sym, -1, 1)  # channel-major coding order
             return sym.astype(jnp.int8), sym.astype(jnp.int16), ovf
 
-        def synth_u8(y_sym, means):
-            y_hat = y_sym.astype(jnp.float32)
+        def synth_u8(y_sym_cmaj, means):
+            y_hat = jnp.moveaxis(y_sym_cmaj.astype(jnp.float32), 1, -1)
             if means is not None:
                 y_hat = y_hat + means
             x = jnp.clip(
@@ -385,9 +390,11 @@ class HyperpriorCodec(CompressionCodec):
             np.int32
         )
         B = symbols.shape[0]
+        # channel-major (NCHW-flat) symbol order — byte-identical to the
+        # reference's per-image flatten (entropy_models.py:237-270)
         y_strings = rans.encode_batch(
-            symbols.reshape(B, -1),
-            np.asarray(indexes).reshape(B, -1),
+            np.moveaxis(symbols, -1, 1).reshape(B, -1),
+            np.moveaxis(np.asarray(indexes), -1, 1).reshape(B, -1),
             self.gc_state.table,
         )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
@@ -492,11 +499,12 @@ class HyperpriorCodec(CompressionCodec):
         indexes, means = jax.device_get(
             self._dec_params(jnp.asarray(z_hat), table)
         )
-        indexes = np.asarray(indexes)
+        idx_cm = np.moveaxis(np.asarray(indexes), -1, 1)
         symbols = rans.decode_batch(
-            y_strings, indexes.reshape(indexes.shape[0], -1),
+            y_strings, idx_cm.reshape(idx_cm.shape[0], -1),
             self.gc_state.table,
-        ).reshape(indexes.shape)
+        ).reshape(idx_cm.shape)
+        symbols = np.moveaxis(symbols, 1, -1)
         x_hat = np.asarray(
             self._dec_synth(
                 jnp.asarray(symbols),

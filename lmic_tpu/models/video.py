@@ -288,16 +288,22 @@ class _HyperpriorState:
             scales, means = module.apply(
                 variables, z_hat, which, method=cls.hp_params
             )
-            indexes = gc.build_indexes(table, scales).astype(jnp.uint8)
+            # channel-major indexes: host flatten == reference NCHW order
+            indexes = jnp.moveaxis(
+                gc.build_indexes(table, scales), -1, 1
+            ).astype(jnp.uint8)
             return indexes, means
 
         def ysym(y, means):
             sym = jnp.round(y - means)
             ovf = jnp.sum((sym < -128) | (sym > 127)).astype(jnp.int32)
+            sym = jnp.moveaxis(sym, -1, 1)  # channel-major coding order
             return sym.astype(jnp.int8), sym.astype(jnp.int16), ovf
 
-        def yhat(y_sym, means):
-            return y_sym.astype(jnp.float32) + means
+        def yhat(y_sym_cmaj, means):
+            return jnp.moveaxis(
+                y_sym_cmaj.astype(jnp.float32), 1, -1
+            ) + means
 
         self._zsym = jax.jit(zsym)
         self._params_from_zsym = jax.jit(params_from_zsym)
@@ -373,8 +379,10 @@ class _HyperpriorState:
         ))
         symbols = np.round(y - means).astype(np.int32)
         B = symbols.shape[0]
+        # channel-major symbol order (reference entropy_models.py:237-270)
         y_strings = rans.encode_batch(
-            symbols.reshape(B, -1), indexes.reshape(B, -1),
+            np.moveaxis(symbols, -1, 1).reshape(B, -1),
+            np.moveaxis(indexes, -1, 1).reshape(B, -1),
             self.gc_state.table,
         )
         y_hat = jnp.asarray(symbols.astype(np.float32) + means)
@@ -391,10 +399,12 @@ class _HyperpriorState:
         indexes = np.asarray(gc.build_indexes(
             jnp.asarray(self.gc_state.scale_table), jnp.asarray(scales)
         ))
-        B = indexes.shape[0]
+        idx_cm = np.moveaxis(indexes, -1, 1)
+        B = idx_cm.shape[0]
         symbols = rans.decode_batch(
-            y_strings, indexes.reshape(B, -1), self.gc_state.table
-        ).reshape(indexes.shape)
+            y_strings, idx_cm.reshape(B, -1), self.gc_state.table
+        ).reshape(idx_cm.shape)
+        symbols = np.moveaxis(symbols, 1, -1)
         return jnp.asarray(symbols.astype(np.float32) + means)
 
 

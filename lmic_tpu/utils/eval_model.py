@@ -156,7 +156,11 @@ def parse_args(argv):
     p.add_argument("--entropy-estimation", action="store_true")
     p.add_argument("--output", default=None, help="JSON results path")
     p.add_argument("--half", action="store_true",
-                   help="bf16 matmul precision for the transforms")
+                   help="bf16 matmul precision for the whole coding graph "
+                        "(the torch reference's .half() eval analogue). "
+                        "Entropy parameters are derived in bf16 too, so "
+                        "bitstreams written under --half must also be "
+                        "decoded under --half")
     # RGBT paired mode (reference __main__rgbt.py): --arch master +
     # checkpoints for both stages; dataset dir holds the master modality
     # with the guide found by RGB<->thermal_8_bit path substitution
@@ -236,8 +240,10 @@ def main(argv=None):
         )
     import contextlib
 
-    # --half: bf16 matmul passes on the MXU for the transforms (the torch
-    # reference's .half() eval analogue); coding decisions stay f32
+    # --half: bf16 matmul passes on the MXU for every jit under this
+    # context — transforms AND the entropy-parameter graphs. Encode and
+    # decode below run in the same process/context so they stay
+    # consistent, but a --half bitstream is only decodable under --half.
     precision_ctx = (
         jax.default_matmul_precision("bfloat16") if args.half
         else contextlib.nullcontext()

@@ -63,11 +63,21 @@ def ms_ssim(x, y, max_val: float = 1.0):
     """Multi-scale SSIM. Uses the standard 5 scales when the image is large
     enough (min side >= 11 * 2^4 = 176); smaller images drop the coarsest
     scales with renormalized weights instead of producing NaN from an
-    empty valid-mode blur."""
+    empty valid-mode blur (a reduced-scale value is a DIFFERENT metric
+    than standard 5-scale MS-SSIM — a one-time warning flags it)."""
     n_scales = len(_MSSSIM_WEIGHTS)
     min_side = min(x.shape[1], x.shape[2])
     while n_scales > 1 and (min_side >> (n_scales - 1)) < 11:
         n_scales -= 1
+    if n_scales < len(_MSSSIM_WEIGHTS):
+        import warnings
+
+        warnings.warn(
+            f"ms_ssim: image min side {min_side} < 176; using "
+            f"{n_scales}-scale MS-SSIM with renormalized weights — not "
+            "comparable to standard 5-scale values",
+            stacklevel=2,
+        )
     weights = jnp.asarray(_MSSSIM_WEIGHTS[:n_scales], x.dtype)
     weights = weights / jnp.sum(weights)
     values = []

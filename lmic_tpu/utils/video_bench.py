@@ -26,7 +26,6 @@ import numpy as np
 
 from lmic_tpu.datasets.rawvideo import RawVideoSequence
 from lmic_tpu.transforms.functional import yuv_420_to_444
-from lmic_tpu.utils.metrics import psnr
 
 
 class VideoCodec:
@@ -112,30 +111,51 @@ class X265(VideoCodec):
 VIDEO_CODECS = {c.name: c for c in (X264(), X265())}
 
 
-def _sequence_metrics(ref: RawVideoSequence,
-                      rec: RawVideoSequence) -> Dict[str, float]:
+def _sequence_metrics(ref: RawVideoSequence, rec: RawVideoSequence,
+                      max_val: float = 255.0) -> Dict[str, float]:
+    """Reference metric semantics (utils/video/bench/__main__.py:135-223):
+    per-frame MSEs are averaged over the sequence BEFORE the log; the RGB
+    frame is bicubic-444-upsampled YCbCr converted through BT.709
+    `ycbcr2rgb` and re-quantized to the bit-depth grid; MS-SSIM runs on
+    those RGB frames; psnr-yuv is the 4:1:1-weighted plane average."""
     import jax.numpy as jnp
 
-    acc = {"psnr-y": 0.0, "psnr-u": 0.0, "psnr-v": 0.0, "psnr-rgb": 0.0}
+    from lmic_tpu.transforms.functional import ycbcr2rgb
+    from lmic_tpu.utils.metrics import ms_ssim
+
     n = min(len(ref), len(rec))
-    max_val = 255.0
+    mse = {"y": 0.0, "u": 0.0, "v": 0.0, "rgb": 0.0}
+    msssim = 0.0
 
     def planes(frame):
         return [
-            jnp.asarray(
-                frame[c].astype(np.float32)[None, ..., None] / max_val
-            )
+            jnp.asarray(frame[c].astype(np.float32)[None, ..., None])
             for c in ("y", "u", "v")
         ]
 
+    def to_rgb(p):
+        x = ycbcr2rgb(yuv_420_to_444(p, mode="bicubic") / max_val)
+        return jnp.round(jnp.clip(x * max_val, 0.0, max_val))
+
     for i in range(n):
         pa, pb = planes(ref[i]), planes(rec[i])
-        for k, a, b in zip(("psnr-y", "psnr-u", "psnr-v"), pa, pb):
-            acc[k] += float(psnr(a, b))
-        acc["psnr-rgb"] += float(
-            psnr(yuv_420_to_444(pa), yuv_420_to_444(pb))
-        )
-    return {k: v / n for k, v in acc.items()}
+        for k, a, b in zip("yuv", pa, pb):
+            mse[k] += float(jnp.mean((a - b) ** 2))
+        ra, rb = to_rgb(pa), to_rgb(pb)
+        mse["rgb"] += float(jnp.mean((ra - rb) ** 2))
+        msssim += float(ms_ssim(ra, rb, max_val=max_val))
+
+    def to_psnr(m):
+        if m == 0.0:
+            return float("inf")
+        return float(20 * np.log10(max_val) - 10 * np.log10(m / n))
+
+    out = {f"psnr-{k}": to_psnr(v) for k, v in mse.items()}
+    out["psnr-yuv"] = (
+        4 * out["psnr-y"] + out["psnr-u"] + out["psnr-v"]
+    ) / 6
+    out["ms-ssim-rgb"] = msssim / n
+    return out
 
 
 def parse_args(argv):

@@ -38,6 +38,7 @@ __all__ = [
     "rename_reference_keys",
     "load_torch_state_dict",
     "import_reference_state_dict",
+    "import_reference_coding_state",
     "load_reference_checkpoint",
 ]
 
@@ -50,16 +51,21 @@ def _np(t) -> np.ndarray:
 
 
 def rename_reference_keys(state_dict: Dict[str, Any]) -> Dict[str, Any]:
-    """Reference `load_pretrained` semantics: strip `module.`, rename
-    ParameterList keys (matrices.{k} -> _matrix{k}, biases -> _bias,
-    factors -> _factor)."""
+    """Reference `load_pretrained` semantics (zoo/pretrained.py:35-57):
+    strip `module.` (DataParallel), rename ParameterList-era keys
+    (`._matrices.{k}` -> `._matrix{k}`, same for `_biases`/`_factors` —
+    the optional-underscore pattern also accepts the un-prefixed spelling),
+    and `downsample` -> `skip` for old ResidualBlockWithStride
+    checkpoints."""
     out = {}
     for k, v in state_dict.items():
         if k.startswith("module."):
             k = k[len("module."):]
-        k = re.sub(r"(.*)\.matrices\.(\d+)$", r"\1._matrix\2", k)
-        k = re.sub(r"(.*)\.biases\.(\d+)$", r"\1._bias\2", k)
-        k = re.sub(r"(.*)\.factors\.(\d+)$", r"\1._factor\2", k)
+        if ".downsample." in k:
+            k = k.replace("downsample", "skip")
+        k = re.sub(r"(.*)\._?matrices\.(\d+)$", r"\1._matrix\2", k)
+        k = re.sub(r"(.*)\._?biases\.(\d+)$", r"\1._bias\2", k)
+        k = re.sub(r"(.*)\._?factors\.(\d+)$", r"\1._factor\2", k)
         out[k] = v
     return out
 
@@ -347,6 +353,72 @@ def import_reference_state_dict(arch: str, state_dict: Dict[str, Any],
     return {"params": params}
 
 
+_FAST_PATH_ATTRS = (
+    "_enc_u8", "_enc_u8_i8", "_dec_u8", "_analyze_u8",
+    "_params_from_zsym", "_ysym", "_synth_u8",
+)
+
+
+def import_reference_coding_state(state_dict: Dict[str, Any], codec,
+                                  eb_prefix: str = "entropy_bottleneck",
+                                  gc_prefix: str = "gaussian_conditional",
+                                  ) -> bool:
+    """Adopt the BAKED integer coding tables from a reference checkpoint.
+
+    The reference's `update_model` flow stores `_quantized_cdf/_offset/
+    _cdf_length` (+ `scale_table`) buffers in deployment checkpoints and
+    `from_state_dict` reloads them (models/utils.py:62-125). Recomputing the
+    tables here via our own `update()` reproduces them only up to float
+    ulps (torch's erfc != XLA's erfc in the last bit, so ~0.5% of quantized
+    CDF entries come out off by one) — adopting the reference buffers makes
+    bitstreams byte-identical across frameworks by construction.
+
+    Returns True when baked tables were found and installed; False when the
+    checkpoint has none (then call `codec.update(force=True)`)."""
+    from lmic_tpu.entropy.coder import CdfTable
+    from lmic_tpu.entropy.entropy_models import (
+        EBState, GaussianConditional, GCState,
+    )
+
+    def buf(name):
+        v = state_dict.get(name)
+        if v is None:
+            return None
+        v = _np(v)
+        return v if v.size else None
+
+    eb_cdf = buf(f"{eb_prefix}._quantized_cdf")
+    quantiles = buf(f"{eb_prefix}.quantiles")
+    if eb_cdf is None or quantiles is None:
+        return False
+    codec.eb_state = EBState(
+        table=CdfTable(
+            eb_cdf.astype(np.int32),
+            buf(f"{eb_prefix}._cdf_length").astype(np.int32),
+            buf(f"{eb_prefix}._offset").reshape(-1).astype(np.int32),
+        ),
+        medians=quantiles[:, 0, 1].astype(np.float32),
+    )
+    gc_cdf = buf(f"{gc_prefix}._quantized_cdf")
+    if gc_cdf is not None:
+        codec.gc_state = GCState(
+            table=CdfTable(
+                gc_cdf.astype(np.int32),
+                buf(f"{gc_prefix}._cdf_length").astype(np.int32),
+                buf(f"{gc_prefix}._offset").reshape(-1).astype(np.int32),
+            ),
+            scale_table=buf(f"{gc_prefix}.scale_table").astype(np.float32),
+            gc=GaussianConditional(),
+        )
+    # captured-state invalidation, as update(force=True) does
+    for name in _FAST_PATH_ATTRS:
+        if hasattr(codec, name):
+            delattr(codec, name)
+    if hasattr(codec, "_encode_scan_cache"):
+        codec._encode_scan_cache.clear()
+    return True
+
+
 def load_reference_checkpoint(arch: str, path: str, quality: int = 1,
                               channel: int = 3, input_size=(256, 256),
                               update: bool = True, **kwargs):
@@ -365,7 +437,10 @@ def load_reference_checkpoint(arch: str, path: str, quality: int = 1,
     variables = import_reference_state_dict(arch, sd, codec.variables)
     codec = type(codec)(codec.module, variables)
     if update:
-        codec.update(force=True)
+        # prefer the checkpoint's own baked tables (byte-exact interop with
+        # reference bitstreams); recompute only when they're absent
+        if not import_reference_coding_state(sd, codec):
+            codec.update(force=True)
     return codec
 
 

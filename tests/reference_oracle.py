@@ -95,36 +95,90 @@ def load_reference():
 
     ans = types.ModuleType("compressai.ans")
 
+    class _TableCache:
+        """The reference's AR loops pass the SAME cdf/length/offset lists on
+        every per-pixel call (google.py:565-692); rebuild the CdfTable once
+        per distinct list triple, keyed by identity (the lists are pinned in
+        the cache so their ids cannot be recycled)."""
+
+        def __init__(self):
+            self._cache = {}
+
+        def get(self, cdfs, cdfs_sizes, offsets):
+            import numpy as np
+
+            key = (id(cdfs), id(cdfs_sizes), id(offsets))
+            hit = self._cache.get(key)
+            if hit is not None:
+                return hit[1]
+            table = _coder.CdfTable(
+                np.asarray(cdfs, np.int32),
+                np.asarray(cdfs_sizes, np.int32),
+                np.asarray(offsets, np.int32),
+            )
+            self._cache[key] = ((cdfs, cdfs_sizes, offsets), table)
+            return table
+
     class RansEncoder:
+        def __init__(self):
+            self._tables = _TableCache()
+
         def encode_with_indexes(self, symbols, indexes, cdfs, cdfs_sizes,
                                 offsets):
             import numpy as np
 
-            table = _coder.CdfTable(
-                np.asarray(cdfs, np.int32),
-                np.asarray(cdfs_sizes, np.int32),
-                np.asarray(offsets, np.int32),
-            )
             return _coder.encode_with_indexes(
                 np.asarray(symbols, np.int32),
-                np.asarray(indexes, np.int32), table,
+                np.asarray(indexes, np.int32),
+                self._tables.get(cdfs, cdfs_sizes, offsets),
             )
 
-    class BufferedRansEncoder(RansEncoder):
-        pass
+    class BufferedRansEncoder:
+        """Real buffered semantics (reference rans_interface.cpp:108-200):
+        symbols appended across calls, one reverse-order stream on flush —
+        required by the reference's `_compress_ar` per-pixel loop."""
+
+        def __init__(self):
+            self._enc = _coder.BufferedRansEncoder()
+            self._tables = _TableCache()
+
+        def encode_with_indexes(self, symbols, indexes, cdfs, cdfs_sizes,
+                                offsets):
+            import numpy as np
+
+            self._enc.encode_with_indexes(
+                np.asarray(symbols, np.int32),
+                np.asarray(indexes, np.int32),
+                self._tables.get(cdfs, cdfs_sizes, offsets),
+            )
+
+        def flush(self):
+            return self._enc.flush()
 
     class RansDecoder:
+        def __init__(self):
+            self._dec = _coder.RansDecoder()
+            self._tables = _TableCache()
+
+        def set_stream(self, stream):
+            self._dec.set_stream(bytes(stream))
+
+        def decode_stream(self, indexes, cdfs, cdfs_sizes, offsets):
+            import numpy as np
+
+            out = self._dec.decode_stream(
+                np.asarray(indexes, np.int32),
+                self._tables.get(cdfs, cdfs_sizes, offsets),
+            )
+            return out.tolist()
+
         def decode_with_indexes(self, stream, indexes, cdfs, cdfs_sizes,
                                 offsets):
             import numpy as np
 
-            table = _coder.CdfTable(
-                np.asarray(cdfs, np.int32),
-                np.asarray(cdfs_sizes, np.int32),
-                np.asarray(offsets, np.int32),
-            )
             out = _coder.decode_with_indexes(
-                stream, np.asarray(indexes, np.int32), table
+                stream, np.asarray(indexes, np.int32),
+                self._tables.get(cdfs, cdfs_sizes, offsets),
             )
             return out.tolist()
 
