@@ -183,14 +183,23 @@ def main():
             continue
         vs = mp_s / baseline
         speedups.append(vs)
-        print(json.dumps({
+        line = {
             "metric": f"{name}_q1_encdec_throughput",
             "value": round(mp_s, 4),
             "unit": "MP/s",
             "vs_baseline": round(vs, 2),
             "baseline_mp_s": baseline,
             "baseline_provenance": provenance,
-        }), flush=True)
+        }
+        if name.startswith(("mbt2018", "cheng2020")):
+            # AR decode scans run on the CPU device behind the TPU tunnel
+            # (io_callback limitation); record which mode was measured
+            from lmic_tpu.models.joint import _ar_decode_device
+
+            line["ar_decode_device"] = (
+                "cpu" if _ar_decode_device() is not None else "default"
+            )
+        print(json.dumps(line), flush=True)
 
     if not speedups:
         print(json.dumps({"metric": "encdec_speedup_geomean",

@@ -255,6 +255,39 @@ class JointARCodec(CompressionCodec):
             )
         )
         self._encode_scan_cache = {}
+        # multi-device serving: per-image fan-out targets (parallel.shard_codec)
+        self._fanout_devices = None
+
+    def fanout(self, devices):
+        """Serve batches across `devices`: images are independent, so each
+        image's wavefront scans (encode and decode) run on their own chip
+        with the host coder lanes keyed per image. Requires a homogeneous
+        device set (entropy parameters are recomputed on both codec sides
+        and must round identically). Disabled when the AR scans are pinned
+        to the CPU device (tunnel TPU fallback)."""
+        devices = list(devices)
+        if _ar_decode_device() is not None:
+            raise ValueError(
+                "AR fan-out unavailable: scans are pinned to the CPU "
+                "device on this backend (LMIC_AR_DECODE)"
+            )
+        kinds = {d.device_kind for d in devices}
+        if len(kinds) > 1:
+            raise ValueError(f"heterogeneous device set: {kinds}")
+        self._fanout_devices = devices
+        return self
+
+    def _fanout_map(self, n_items, fn):
+        """Run fn(i, device) for each item on a thread pool, one in-flight
+        item per device slot (jit dispatch + host coding release the GIL)."""
+        devs = self._fanout_devices
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(devs)) as pool:
+            return list(
+                pool.map(lambda i: fn(i, devs[i % len(devs)]),
+                         range(n_items))
+            )
 
     # -- state -----------------------------------------------------------------
     def update(self, force: bool = False, scale_table=None):
@@ -356,17 +389,24 @@ class JointARCodec(CompressionCodec):
 
         B, H, W, M = y.shape
         scan = self._get_encode_scan(H, W)
-        y_strings = []
-        for i in range(B):
-            symbols, indexes, valid, _ = jax.device_get(
-                scan(jnp.asarray(y[i]), jnp.asarray(params[i]))
-            )
+
+        def encode_one(i, dev=None):
+            yi, pi = jnp.asarray(y[i]), jnp.asarray(params[i])
+            if dev is not None:
+                yi = jax.device_put(yi, dev)
+                pi = jax.device_put(pi, dev)
+            symbols, indexes, valid, _ = jax.device_get(scan(yi, pi))
             sel = valid.reshape(-1)  # (T*R,)
             sym_flat = symbols.reshape(-1, M)[sel].reshape(-1)
             idx_flat = indexes.reshape(-1, M)[sel].reshape(-1)
-            y_strings.append(
-                rans.encode_with_indexes(sym_flat, idx_flat, self.gc_state.table)
+            return rans.encode_with_indexes(
+                sym_flat, idx_flat, self.gc_state.table
             )
+
+        if self._fanout_devices and B > 1:
+            y_strings = self._fanout_map(B, encode_one)
+        else:
+            y_strings = [encode_one(i) for i in range(B)]
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
     def compress(self, x):
@@ -387,16 +427,20 @@ class JointARCodec(CompressionCodec):
         step_fn = make_wavefront_step(
             module, variables, H, W, self.gc_state.scale_table
         )
-        decoder_box = {"dec": None}
+        # one decoder per LANE: concurrent per-device scans each stream
+        # from their own image's rANS state (io_callback may run the host
+        # function from any runtime thread, so the lane index travels
+        # through the program as data, not thread-local state)
+        decoder_box = {"lanes": []}
         R = wavefront_rows(H, W)
 
-        def host_decode(indexes, valid):
+        def host_decode(lane, indexes, valid):
             indexes = np.asarray(indexes)
             valid = np.asarray(valid)
             out = np.zeros((R, M), np.int32)
             if valid.any():
                 flat = indexes[valid].reshape(-1)
-                vals = decoder_box["dec"].decode_stream(
+                vals = decoder_box["lanes"][int(lane)].decode_stream(
                     flat, self.gc_state.table
                 )
                 out[valid] = vals.reshape(-1, M)
@@ -410,6 +454,7 @@ class JointARCodec(CompressionCodec):
             symbols = io_callback(
                 host_decode,
                 jax.ShapeDtypeStruct((R, M), jnp.int32),
+                carry["lane"],
                 indexes,
                 valid,
                 ordered=True,
@@ -421,10 +466,11 @@ class JointARCodec(CompressionCodec):
             )
             return carry, None
 
-        def run(params):
+        def run(params, lane):
             carry = {
                 "y_hat": jnp.zeros((H + 2 * PAD, W + 2 * PAD, M), jnp.float32),
                 "params": params,
+                "lane": lane,
             }
             carry, _ = jax.lax.scan(body, carry, jnp.arange(T))
             return carry["y_hat"][PAD : PAD + H, PAD : PAD + W]
@@ -433,30 +479,48 @@ class JointARCodec(CompressionCodec):
         if dec_dev is not None:
             inner = fn
 
-            def fn(params, _inner=inner, _dev=dec_dev):
+            def fn(params, lane, _inner=inner, _dev=dec_dev):
                 with jax.default_device(_dev):
-                    return _inner(jax.device_put(params, _dev))
+                    return _inner(
+                        jax.device_put(params, _dev),
+                        jax.device_put(lane, _dev),
+                    )
 
         wrapped = (fn, decoder_box)
         self._encode_scan_cache[key] = wrapped
         return wrapped
 
     def _decode_y_hat(self, strings, shape) -> np.ndarray:
-        """Decode the AR latent y_hat (B, H, W, M) from the bitstreams."""
+        """Decode the AR latent y_hat (B, H, W, M) from the bitstreams.
+
+        With `fanout(devices)` active, each image's decode scan runs on its
+        own device concurrently, streaming from its own lane's decoder."""
         assert isinstance(strings, list) and len(strings) == 2
         y_strings, z_strings = strings[0], strings[1]
         z_hat = self.eb_state.decompress(z_strings, tuple(shape))
         params = np.asarray(self._hyper_params(jnp.asarray(z_hat)))
         H, W = shape[0] * 4, shape[1] * 4
         scan, decoder_box = self._get_decode_scan(H, W)
-        y_hats = []
-        for i, s in enumerate(y_strings):
+
+        lanes = []
+        for s in y_strings:
             dec = rans.RansDecoder()
             dec.set_stream(s)
-            decoder_box["dec"] = dec
-            y_hat = np.asarray(scan(jnp.asarray(params[i])))
-            y_hats.append(y_hat)
-        return np.stack(y_hats)
+            lanes.append(dec)
+        decoder_box["lanes"] = lanes
+
+        if self._fanout_devices and len(y_strings) > 1:
+            def one(i, dev):
+                return np.asarray(scan(
+                    jax.device_put(jnp.asarray(params[i]), dev),
+                    jax.device_put(jnp.int32(i), dev),
+                ))
+
+            return np.stack(self._fanout_map(len(y_strings), one))
+        return np.stack([
+            np.asarray(scan(jnp.asarray(params[i]), jnp.int32(i)))
+            for i in range(len(y_strings))
+        ])
 
     def decompress(self, strings, shape):
         self._check_updated()

@@ -59,6 +59,11 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
     batches whose leading dim divides the mesh size.
     """
     codec._check_updated()
+    if hasattr(codec, "fanout"):
+        # autoregressive family: images are independent, so the wavefront
+        # scans (encode + the io_callback decode lanes) fan out one image
+        # per chip instead of SPMD-sharding a single program
+        return codec.fanout(list(mesh.devices.flat))
     if not hasattr(codec, "_build_u8_fns"):
         raise ValueError(f"{type(codec).__name__} has no u8 fast path")
     codec._build_u8_fns()

@@ -57,11 +57,15 @@ def load_params(path: str, params_template):
         return flax.serialization.from_bytes(params_template, f.read())
 
 
-def update_model_file(in_path: str, out_dir: str, codec, name: str) -> str:
+def update_model_file(in_path: str, out_dir: str, codec, name: str,
+                      update: bool = True) -> str:
     """Finalize a deployment checkpoint: run codec.update(force=True), store
     params + coding tables, and name the file with the sha256[:8] of its
-    contents (reference update_model/__main__.py:179-205)."""
-    codec.update(force=True)
+    contents (reference update_model/__main__.py:179-205). Pass
+    update=False when the codec already carries adopted coding tables
+    (e.g. imported from a reference checkpoint's baked buffers)."""
+    if update:
+        codec.update(force=True)
     blob: Dict[str, Any] = {
         "params": flax.serialization.to_bytes(
             jax.device_get(codec.variables)

@@ -49,8 +49,10 @@ def run(argv=None):
         args.arch, args.quality, channel=args.channel,
         key=jax.random.key(0),
     )
+    baked = False
     if args.from_torch:
         from lmic_tpu.zoo.pretrained import (
+            import_reference_coding_state,
             import_reference_state_dict,
             load_torch_state_dict,
         )
@@ -59,6 +61,10 @@ def run(argv=None):
         params = import_reference_state_dict(
             args.arch, sd, codec.variables
         )["params"]
+        codec = type(codec)(codec.module, {"params": params})
+        # adopt the reference's baked CDF buffers when present — keeps
+        # bitstreams byte-compatible with the original torch deployment
+        baked = import_reference_coding_state(sd, codec)
     elif args.raw_params:
         params = ckpt.load_params(
             args.checkpoint, codec.variables["params"]
@@ -71,7 +77,8 @@ def run(argv=None):
         )
         state, _ = ckpt.load_checkpoint(args.checkpoint, state)
         params = state.params
-    codec = type(codec)(codec.module, {"params": params})
+    if not args.from_torch:
+        codec = type(codec)(codec.module, {"params": params})
     name = args.name or f"{args.arch}-q{args.quality}"
     os.makedirs(args.out_dir, exist_ok=True)
     if args.no_update:
@@ -79,7 +86,7 @@ def run(argv=None):
         ckpt.save_params(out, params)
     else:
         out = ckpt.update_model_file(
-            args.checkpoint, args.out_dir, codec, name
+            args.checkpoint, args.out_dir, codec, name, update=not baked
         )
     print(out)
     return out

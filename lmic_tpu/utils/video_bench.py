@@ -108,7 +108,67 @@ class X265(VideoCodec):
     encoder_name = "libx265"
 
 
+class _RefVideoCodec(VideoCodec):
+    """VTM/HM reference software driven directly on raw YUV420 sequences
+    (reference utils/video/bench/codecs.py:206-335). Needs --build-dir
+    (encoder/decoder apps) and --config; degrades to a clear availability
+    error otherwise, like the ffmpeg codecs."""
+
+    encoder_app = ""
+    decoder_app = ""
+
+    def __init__(self, build_dir: str = "", config: str = ""):
+        self.build_dir = build_dir
+        self.config = config
+
+    def binary(self) -> str:
+        return os.path.join(self.build_dir, self.encoder_app)
+
+    def available(self) -> bool:
+        return bool(
+            self.build_dir and self.config
+            and shutil.which(self.binary()) is not None
+            and shutil.which(
+                os.path.join(self.build_dir, self.decoder_app)
+            ) is not None
+            and os.path.isfile(self.config)
+        )
+
+    def encode_cmd(self, in_path, seq, quality, out_path):
+        fps = float(seq.framerate) if seq.framerate else 30.0
+        return [
+            self.binary(), "-i", in_path, "-c", self.config,
+            "-q", str(quality), "-o", "/dev/null", "-b", out_path,
+            "-wdt", str(seq.width), "-hgt", str(seq.height),
+            "-fr", f"{fps:g}", "-f", str(len(seq)),
+            "--InputBitDepth=8", "--OutputBitDepth=8",
+        ]
+
+    def decode_cmd(self, bitstream, out_yuv):
+        return [
+            os.path.join(self.build_dir, self.decoder_app),
+            "-b", bitstream, "-o", out_yuv, "-d", "8",
+        ]
+
+    def container(self) -> str:
+        return "bin"
+
+
+class VTMVideo(_RefVideoCodec):
+    name = "vtm"
+    encoder_app = "EncoderAppStatic"
+    decoder_app = "DecoderAppStatic"
+
+
+class HMVideo(_RefVideoCodec):
+    name = "hm"
+    encoder_app = "TAppEncoderStatic"
+    decoder_app = "TAppDecoderStatic"
+
+
 VIDEO_CODECS = {c.name: c for c in (X264(), X265())}
+VIDEO_CODEC_CLASSES = {"x264": X264, "x265": X265,
+                       "vtm": VTMVideo, "hm": HMVideo}
 
 
 def _sequence_metrics(ref: RawVideoSequence, rec: RawVideoSequence,
@@ -162,24 +222,41 @@ def parse_args(argv):
     p = argparse.ArgumentParser(description="traditional video codec bench")
     p.add_argument("dataset", help="directory of *_WxH_fps_yuv420.yuv files")
     p.add_argument("-c", "--codec", default="x264",
-                   choices=sorted(VIDEO_CODECS))
+                   choices=sorted(VIDEO_CODEC_CLASSES))
     p.add_argument("-q", "--qualities", default="23,28,33,38",
-                   help="comma-separated CRF values")
+                   help="comma-separated CRF/QP values")
+    p.add_argument("-j", "--num-jobs", type=int, default=1,
+                   help="parallel per-sequence workers")
+    p.add_argument("--build-dir", default="",
+                   help="VTM/HM binaries directory")
+    p.add_argument("--config", default="", help="VTM/HM encoder config")
     p.add_argument("--output", default=None)
     return p.parse_args(argv)
 
 
+def _make_codec(args) -> VideoCodec:
+    cls = VIDEO_CODEC_CLASSES[args.codec]
+    if issubclass(cls, _RefVideoCodec):
+        return cls(args.build_dir, args.config)
+    return cls()
+
+
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
-    codec = VIDEO_CODECS[args.codec]
+    codec = _make_codec(args)
     files = sorted(
         f for f in os.listdir(args.dataset) if f.endswith(".yuv")
     )
     results = []
     for q in (int(v) for v in args.qualities.split(",")):
-        per_q = []
-        for f in files:
-            per_q.append(codec.run(os.path.join(args.dataset, f), q))
+        paths = [os.path.join(args.dataset, f) for f in files]
+        if args.num_jobs > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=args.num_jobs) as pool:
+                per_q = list(pool.map(lambda f: codec.run(f, q), paths))
+        else:
+            per_q = [codec.run(f, q) for f in paths]
         agg = {
             k: float(np.mean([m[k] for m in per_q])) for k in per_q[0]
         }

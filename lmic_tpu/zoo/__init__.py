@@ -35,6 +35,15 @@ from lmic_tpu.models.rgbt import (
     MasterCodec,
     MasterCompresser,
 )
+from lmic_tpu.models.rgbt_joint import (
+    Cheng2020Anchor_D,
+    Cheng2020Anchor_R,
+    Cheng2020Attention_D,
+    Cheng2020Attention_R,
+    FusedARCodec,
+    JointAutoregressiveHierarchicalPriors_D,
+    JointAutoregressiveHierarchicalPriors_R,
+)
 
 # quality -> ctor args (reference zoo/image.py:189-246)
 cfgs: Dict[str, Dict[int, Tuple[int, ...]]] = {
@@ -66,6 +75,15 @@ cfgs: Dict[str, Dict[int, Tuple[int, ...]]] = {
         **{q: (128,) for q in range(1, 4)},
         **{q: (192,) for q in range(4, 7)},
     },
+    # RGB-T guide/dependent variants: the reference constructs them with
+    # the class defaults N=M=192 (google.py:758, waseda.py:176) across the
+    # lambda table, like the paper pair
+    "mbt2018_R": {q: (192, 192) for q in range(1, 8)},
+    "mbt2018_D": {q: (192, 192) for q in range(1, 8)},
+    "cheng2020-anchor_R": {q: (192,) for q in range(1, 8)},
+    "cheng2020-anchor_D": {q: (192,) for q in range(1, 8)},
+    "cheng2020-attn_R": {q: (192,) for q in range(1, 8)},
+    "cheng2020-attn_D": {q: (192,) for q in range(1, 8)},
 }
 
 # architecture -> (module class, codec wrapper class)
@@ -78,6 +96,12 @@ model_architectures: Dict[str, Tuple[Any, Any]] = {
     "cheng2020-attn": (Cheng2020Attention, JointARCodec),
     "guided": (GuidedCompresser, GuidedCodec),
     "master": (MasterCompresser, MasterCodec),
+    "mbt2018_R": (JointAutoregressiveHierarchicalPriors_R, GuidedCodec),
+    "mbt2018_D": (JointAutoregressiveHierarchicalPriors_D, FusedARCodec),
+    "cheng2020-anchor_R": (Cheng2020Anchor_R, GuidedCodec),
+    "cheng2020-anchor_D": (Cheng2020Anchor_D, FusedARCodec),
+    "cheng2020-attn_R": (Cheng2020Attention_R, GuidedCodec),
+    "cheng2020-attn_D": (Cheng2020Attention_D, FusedARCodec),
 }
 
 
@@ -142,6 +166,24 @@ def create_model(
                 for i in range(3)
             }
             variables = module.init(rngs, x, guided_hat, hidden)
+        elif architecture.endswith("_D"):
+            # dependent-modality codecs take the _R model's hidden maps at
+            # the master's own pyramid resolutions (same-size pair)
+            N = module.N
+            hidden = {
+                f"ga{i + 1}": jnp.zeros(
+                    (1, H >> (i + 1), W >> (i + 1), N), jnp.float32
+                )
+                for i in range(3)
+            }
+            hidden.update({
+                f"gs{i + 1}": jnp.zeros(
+                    (1, (H >> 4) << (i + 1), (W >> 4) << (i + 1), N),
+                    jnp.float32,
+                )
+                for i in range(3)
+            })
+            variables = module.init(rngs, x, hidden)
         else:
             variables = module.init(rngs, x)
     return codec_cls(module, variables)
@@ -176,3 +218,13 @@ def video_models():
 # populated as families land (mbt2018, cheng2020*, ssf2020, RGBT pair)
 def available_models():
     return sorted(model_architectures)
+
+
+# pretrained-checkpoint registry (urls.py keeps the big tables out of the
+# import path of training jobs)
+from lmic_tpu.zoo.urls import (  # noqa: E402
+    fetch_pretrained,
+    load_pretrained_model,
+    model_urls,
+    pretrained_url,
+)

@@ -685,3 +685,184 @@ def _import_master(sd):
 
 _IMPORTERS["guided"] = _import_guided
 _IMPORTERS["master"] = _import_master
+
+
+# -- RGB-T `_R` / `_D` variants ------------------------------------------------
+#
+# Reference: google.py:746-1423 (JointAutoregressiveHierarchicalPriors_R/_D)
+# and waseda.py:162-694 (Cheng2020Anchor/Attention_R/_D). The torch
+# state_dicts carry unused inherited g_a/g_s Sequentials (the classes build
+# their own enc1/dec1 or pic2_*/fused transforms); those keys are simply
+# not mapped.
+
+def _deconv_wb(sd, base):
+    return {"Conv_0": {
+        "kernel": _deconv_kernel(sd[f"{base}.weight"]),
+        "bias": sd[f"{base}.bias"].astype(np.float32),
+    }}
+
+
+def _esa(sd, p):
+    """ESA (google.py:1432-1459) -> layers.ESA call-order auto-names:
+    conv1, conv2 (raw nn.Conv), conv_max, conv3, conv3_, conv_f, conv4."""
+    return {
+        "Conv_0": {"Conv_0": _wb(sd, f"{p}.conv1")},
+        "Conv_1": _wb(sd, f"{p}.conv2"),
+        "Conv_2": {"Conv_0": _wb(sd, f"{p}.conv_max")},
+        "Conv_3": {"Conv_0": _wb(sd, f"{p}.conv3")},
+        "Conv_4": {"Conv_0": _wb(sd, f"{p}.conv3_")},
+        "Conv_5": {"Conv_0": _wb(sd, f"{p}.conv_f")},
+        "Conv_6": {"Conv_0": _wb(sd, f"{p}.conv4")},
+    }
+
+
+def _edge_fuse(sd, eg_x, eg_h, tran, attn):
+    """One _EdgeFuse level: eg_ext{eg_x} on the master stream, eg_ext{eg_h}
+    on the guide hidden map, tran_conv{tran} fusion, attention{attn} ESA
+    (forward wiring at google.py:1158-1242)."""
+    return {
+        "Conv_0": {"Conv_0": _wb(sd, f"eg_ext{eg_x}.0")},
+        "Conv_1": {"Conv_0": _wb(sd, f"eg_ext{eg_h}.0")},
+        "Conv_2": {"Conv_0": _wb(sd, f"tran_conv{tran}")},
+        "ESA_0": _esa(sd, f"attention{attn}"),
+    }
+
+
+def _cheng_h_nets(sd):
+    """The cheng-style hyper pair shared by all waseda variants
+    (waseda.py:179-200 / :489-510)."""
+    return {
+        "h_a_net": {
+            f"layers_{i}": _block_conv(sd, f"h_a.{i}")
+            for i in (0, 2, 4, 6, 8)
+        },
+        "h_s_net": {
+            "layers_0": _block_conv(sd, "h_s.0"),
+            "layers_2": _block_subpel(sd, "h_s.2"),
+            "layers_4": _block_conv(sd, "h_s.4"),
+            "layers_6": _block_subpel(sd, "h_s.6"),
+            "layers_8": _block_conv(sd, "h_s.8"),
+        },
+    }
+
+
+def _import_jahp_d(sd):
+    """JointAutoregressiveHierarchicalPriors_D (google.py:1006-1423)."""
+    p = {
+        "entropy_bottleneck": _entropy_bottleneck(sd),
+        "h_a_net": _seq_to_layers(sd, "h_a"),
+        "h_s_net": _seq_to_layers(sd, "h_s", deconv_indices=(0, 2)),
+        "entropy_parameters_net": _seq_to_layers(sd, "entropy_parameters"),
+        "context_prediction": {
+            "kernel": _conv_kernel(sd["context_prediction.weight"]),
+            "bias": sd["context_prediction.bias"].astype(np.float32),
+        },
+    }
+    for i in range(4):
+        p[f"pic2_ga_convs_{i}"] = {"Conv_0": _wb(sd, f"pic2_g_a_conv{i + 1}")}
+        p[f"pic2_gs_convs_{i}"] = _deconv_wb(sd, f"pic2_g_s_conv{i + 1}")
+    for i in range(3):
+        p[f"pic2_ga_gdns_{i}"] = _gdn(sd, f"pic2_g_a_gdn{i + 1}")
+        p[f"pic2_gs_gdns_{i}"] = _gdn(sd, f"pic2_g_s_gdn{i + 1}")
+        p[f"enc_fuse_{i}"] = _edge_fuse(
+            sd, 2 * i + 1, 2 * i + 2, i + 1, i + 1
+        )
+        p[f"dec_fuse_{i}"] = _edge_fuse(
+            sd, 2 * i + 7, 2 * i + 8, i + 4, i + 4
+        )
+    return p
+
+
+def _import_cheng_anchor_r(sd):
+    """Cheng2020Anchor_R (waseda.py:162-209): JAHP_R's hidden-tap GDN
+    transforms (enc1/dec1) with the cheng hyper pair."""
+    p = _import_guided(sd)
+    p.update(_cheng_h_nets(sd))
+    return p
+
+
+def _import_cheng_attn_r(sd):
+    """Cheng2020Attention_R (waseda.py:212-261): Encoder_cheng/Decoder_cheng
+    hidden-tap transforms (waseda.py:409-460) + cheng hyper pair."""
+    p = _import_cheng_anchor_r(sd)
+    p["g_a_net"] = {
+        "ResidualBlockWithStride_0": _block_rbs(sd, "enc.res_stride1"),
+        "ResidualBlock_0": _block_rb(sd, "enc.res1"),
+        "ResidualBlockWithStride_1": _block_rbs(sd, "enc.res_stride2"),
+        "AttentionBlock_0": _block_attn(sd, "enc.atten1"),
+        "ResidualBlock_1": _block_rb(sd, "enc.res2"),
+        "ResidualBlockWithStride_2": _block_rbs(sd, "enc.res_stride3"),
+        "ResidualBlock_2": _block_rb(sd, "enc.res3"),
+        "Conv_0": {"Conv_0": _wb(sd, "enc.conv")},
+        "AttentionBlock_1": _block_attn(sd, "enc.atten2"),
+    }
+    p["g_s_net"] = {
+        "AttentionBlock_0": _block_attn(sd, "dec.atten1"),
+        "ResidualBlock_0": _block_rb(sd, "dec.res1"),
+        "ResidualBlockUpsample_0": _block_rbu(sd, "dec.res_stride1"),
+        "ResidualBlock_1": _block_rb(sd, "dec.res2"),
+        "ResidualBlockUpsample_1": _block_rbu(sd, "dec.res_stride2"),
+        "AttentionBlock_1": _block_attn(sd, "dec.atten2"),
+        "ResidualBlock_2": _block_rb(sd, "dec.res3"),
+        "ResidualBlockUpsample_2": _block_rbu(sd, "dec.res_stride3"),
+        "ResidualBlock_3": _block_rb(sd, "dec.res4"),
+        "SubpelConv3x3_0": _block_subpel(sd, "dec.conv"),
+    }
+    return p
+
+
+def _import_cheng_anchor_d(sd):
+    """Cheng2020Anchor_D (waseda.py:463-530): JAHP_D fused-GDN body with
+    the cheng hyper pair."""
+    p = _import_jahp_d(sd)
+    p.update(_cheng_h_nets(sd))
+    return p
+
+
+def _import_cheng_attn_d(sd):
+    """Cheng2020Attention_D (waseda.py:533-694): residual/attention fused
+    transforms. The inherited pic2_* convs are unused by its forward."""
+    p = {
+        "entropy_bottleneck": _entropy_bottleneck(sd),
+        "entropy_parameters_net": _seq_to_layers(sd, "entropy_parameters"),
+        "context_prediction": {
+            "kernel": _conv_kernel(sd["context_prediction.weight"]),
+            "bias": sd["context_prediction.bias"].astype(np.float32),
+        },
+        "ga_blocks_pre_0": _block_rbs(sd, "g_a_rbs1"),
+        "g_a_rb1": _block_rb(sd, "g_a_rb1"),
+        "g_a_rbs2": _block_rbs(sd, "g_a_rbs2"),
+        "g_a_att1": _block_attn(sd, "g_a_att1"),
+        "g_a_rb2": _block_rb(sd, "g_a_rb2"),
+        "g_a_rbs3": _block_rbs(sd, "g_a_rbs3"),
+        "g_a_rb3": _block_rb(sd, "g_a_rb3"),
+        "g_a_conv": {"Conv_0": _wb(sd, "g_a_conv")},
+        "g_a_att2": _block_attn(sd, "g_a_att2"),
+        "g_s_att1": _block_attn(sd, "g_s_att1"),
+        "g_s_rb1": _block_rb(sd, "g_s_rb1"),
+        "g_s_rbs1": _block_rbu(sd, "g_s_rbs1"),
+        "g_s_rb2": _block_rb(sd, "g_s_rb2"),
+        "g_s_rbs2": _block_rbu(sd, "g_s_rbs2"),
+        "g_s_att2": _block_attn(sd, "g_s_att2"),
+        "g_s_rb3": _block_rb(sd, "g_s_rb3"),
+        "g_s_rbs3": _block_rbu(sd, "g_s_rbs3"),
+        "g_s_rb4": _block_rb(sd, "g_s_rb4"),
+        "g_s_conv": _block_subpel(sd, "g_s_conv"),
+    }
+    p.update(_cheng_h_nets(sd))
+    for i in range(3):
+        p[f"enc_fuse_{i}"] = _edge_fuse(
+            sd, 2 * i + 1, 2 * i + 2, i + 1, i + 1
+        )
+        p[f"dec_fuse_{i}"] = _edge_fuse(
+            sd, 2 * i + 7, 2 * i + 8, i + 4, i + 4
+        )
+    return p
+
+
+_IMPORTERS["mbt2018_R"] = _import_guided
+_IMPORTERS["mbt2018_D"] = _import_jahp_d
+_IMPORTERS["cheng2020-anchor_R"] = _import_cheng_anchor_r
+_IMPORTERS["cheng2020-attn_R"] = _import_cheng_attn_r
+_IMPORTERS["cheng2020-anchor_D"] = _import_cheng_anchor_d
+_IMPORTERS["cheng2020-attn_D"] = _import_cheng_attn_d

@@ -39,6 +39,102 @@ class TestTraditionalCodecs:
         assert hi["psnr"] > lo["psnr"]
         assert hi["bpp"] > lo["bpp"]
 
+    def test_collect_fanout_matches_serial(self, img_path):
+        from lmic_tpu.utils.bench_codecs import collect
+
+        jpeg = JPEG()
+        serial = collect(jpeg, [img_path], [30, 70], num_jobs=1)
+        threaded = collect(jpeg, [img_path], [30, 70], num_jobs=4)
+        assert serial["bpp"] == threaded["bpp"]
+        assert serial["psnr"] == threaded["psnr"]
+        assert len(serial["bpp"]) == 2
+
+
+class TestReferenceEncoderWrappers:
+    """VTM/HM/AV1/TFCI arg plumbing — no binaries in this image, so
+    construction must fail with actionable messages and command
+    construction is checked against the reference's flags
+    (utils/bench/codecs.py:596-962)."""
+
+    def test_missing_binaries_error(self, tmp_path):
+        from lmic_tpu.utils.bench_codecs import AV1, HM, TFCI, VTM
+
+        cfg = tmp_path / "intra.cfg"
+        cfg.write_text("# cfg\n")
+        with pytest.raises(RuntimeError, match="binaries not found"):
+            VTM(str(tmp_path), str(cfg))
+        with pytest.raises(RuntimeError, match="binaries not found"):
+            HM(str(tmp_path), str(cfg))
+        with pytest.raises(RuntimeError, match="binaries not found"):
+            AV1(str(tmp_path))
+        with pytest.raises(RuntimeError, match="tfci.py"):
+            TFCI(str(tmp_path / "missing_tfci.py"))
+
+    @pytest.fixture
+    def vtm_dir(self, tmp_path):
+        import os
+
+        for name in ("EncoderAppStatic", "DecoderAppStatic",
+                     "TAppEncoderStatic", "TAppDecoderStatic", "aomenc",
+                     "aomdec"):
+            p = tmp_path / name
+            p.write_text("#!/bin/sh\n")
+            os.chmod(p, 0o755)
+        (tmp_path / "intra.cfg").write_text("# cfg\n")
+        return tmp_path
+
+    def test_vtm_hm_commands(self, vtm_dir):
+        from lmic_tpu.utils.bench_codecs import HM, VTM
+
+        cfg = str(vtm_dir / "intra.cfg")
+        vtm = VTM(str(vtm_dir), cfg)
+        cmd = vtm._enc_cmd("in.yuv", 32, "out.bin", 768, 512)
+        assert cmd[0].endswith("EncoderAppStatic")
+        assert "--InputChromaFormat=444" in cmd
+        assert "--ConformanceWindowMode=1" in cmd
+        assert cmd[cmd.index("-q") + 1] == "32"
+        assert cmd[cmd.index("-wdt") + 1] == "768"
+        with pytest.raises(ValueError, match="Invalid quality"):
+            vtm._enc_cmd("in.yuv", 99, "o", 8, 8)
+
+        hm = HM(str(vtm_dir), cfg, rgb=True)
+        cmd = hm._enc_cmd("in.yuv", 27, "out.bin", 64, 64)
+        assert cmd[0].endswith("TAppEncoderStatic")
+        assert "--SEIDecodedPictureHash" in cmd
+        assert "--InputColourSpaceConvert=RGBtoGBR" in cmd
+        dec = hm._dec_cmd("out.bin", "rec.yuv")
+        assert dec[0].endswith("TAppDecoderStatic")
+        assert "--OutputInternalColourSpace=GBRtoRGB" in dec
+
+    def test_cli_skips_cleanly_when_absent(self, tmp_path, capsys):
+        from lmic_tpu.utils.bench_codecs import main
+
+        rc = main(["vtm", "-d", str(tmp_path), "-q", "32",
+                   "--build-dir", str(tmp_path),
+                   "--config", str(tmp_path / "nope.cfg")])
+        assert rc == 1
+        assert "skipped" in capsys.readouterr().err
+
+    def test_video_ref_codec_commands(self, vtm_dir, tmp_path):
+        from lmic_tpu.datasets.rawvideo import RawVideoSequence
+        from lmic_tpu.utils.video_bench import HMVideo, VTMVideo
+
+        W, H, T = 64, 64, 2
+        raw = np.zeros(T * (H * W + 2 * (H // 2) * (W // 2)), np.uint8)
+        path = tmp_path / f"clip_{W}x{H}_30_yuv420.yuv"
+        raw.tofile(path)
+        seq = RawVideoSequence.from_file(str(path))
+
+        vtm = VTMVideo(str(vtm_dir), str(vtm_dir / "intra.cfg"))
+        assert vtm.available()
+        cmd = vtm.encode_cmd(str(path), seq, 32, "out.bin")
+        assert cmd[cmd.index("-wdt") + 1] == "64"
+        assert cmd[cmd.index("-f") + 1] == "2"
+        assert "--InputBitDepth=8" in cmd
+
+        hm = HMVideo("", "")
+        assert not hm.available()
+
 
 class TestFindClose:
     def test_bisects_bpp(self, img_path):

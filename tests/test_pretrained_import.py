@@ -282,6 +282,93 @@ def test_rename_reference_keys():
     }
 
 
+RD_PAIRS = [
+    ("mbt2018_R", "mbt2018_D"),
+    ("cheng2020-anchor_R", "cheng2020-anchor_D"),
+    ("cheng2020-attn_R", "cheng2020-attn_D"),
+]
+
+
+def _ref_rd_models(arch_r, arch_d, N):
+    from compressai.models.google import (
+        JointAutoregressiveHierarchicalPriors_D,
+        JointAutoregressiveHierarchicalPriors_R,
+    )
+    from compressai.models.waseda import (
+        Cheng2020Anchor_D,
+        Cheng2020Anchor_R,
+        Cheng2020Attention_D,
+        Cheng2020Attention_R,
+    )
+
+    table = {
+        "mbt2018_R": lambda: JointAutoregressiveHierarchicalPriors_R(N, N),
+        "mbt2018_D": lambda: JointAutoregressiveHierarchicalPriors_D(N, N),
+        "cheng2020-anchor_R": lambda: Cheng2020Anchor_R(N),
+        "cheng2020-anchor_D": lambda: Cheng2020Anchor_D(N),
+        "cheng2020-attn_R": lambda: Cheng2020Attention_R(N),
+        "cheng2020-attn_D": lambda: Cheng2020Attention_D(N),
+    }
+    return table[arch_r](), table[arch_d]()
+
+
+@pytest.mark.parametrize("arch_r,arch_d", RD_PAIRS)
+def test_rd_variant_forward_parity(arch_r, arch_d):
+    """The RGB-T guide/dependent pairs end-to-end: the `_R` guide's hidden
+    taps (google.py:746-1003 / waseda.py:162-261) feed the `_D` dependent
+    codec's per-level edge-fuse + ESA path (google.py:1006-1423 /
+    waseda.py:463-694); both must match the reference float-for-float."""
+    import torch
+
+    from lmic_tpu import zoo
+    from lmic_tpu.zoo.pretrained import import_reference_state_dict
+
+    N = 32
+    torch.manual_seed(0)
+    ref_r, ref_d = _ref_rd_models(arch_r, arch_d, N)
+    ref_r.eval()
+    ref_d.eval()
+    xg = torch.rand(1, 3, 128, 128)
+    xm = torch.rand(1, 1, 128, 128)
+    with torch.no_grad():
+        out_r = ref_r(xg)
+        out_d = ref_d(xm, out_r["hidden"])
+
+    def t(a):
+        return np.transpose(a.detach().numpy(), (0, 2, 3, 1))
+
+    rc = zoo.create_model(
+        arch_r, 1, key=jax.random.key(0), input_size=(128, 128),
+        channel=3, N=N, M=N,
+    )
+    rv = import_reference_state_dict(arch_r, ref_r.state_dict(), rc.variables)
+    ours_r = rc.module.apply(rv, t(xg), training=False)
+    np.testing.assert_allclose(
+        np.asarray(ours_r["x_hat"]), t(out_r["x_hat"]), atol=5e-6
+    )
+    for name in ("ga1", "ga2", "ga3", "gs1", "gs2", "gs3"):
+        np.testing.assert_allclose(
+            np.asarray(ours_r["hidden"][name]), t(out_r["hidden"][name]),
+            atol=5e-6,
+        )
+
+    dc = zoo.create_model(
+        arch_d, 1, key=jax.random.key(0), input_size=(128, 128),
+        channel=1, N=N, M=N,
+    )
+    dv = import_reference_state_dict(arch_d, ref_d.state_dict(), dc.variables)
+    hidden = {k: t(v) for k, v in out_r["hidden"].items()}
+    ours_d = dc.module.apply(dv, t(xm), hidden, training=False)
+    np.testing.assert_allclose(
+        np.asarray(ours_d["x_hat"]), t(out_d["x_hat"]), atol=5e-6
+    )
+    for name in ours_d["likelihoods"]:
+        np.testing.assert_allclose(
+            np.asarray(ours_d["likelihoods"][name]),
+            t(out_d["likelihoods"][name]), atol=5e-6,
+        )
+
+
 def test_ssf2020_forward_parity():
     """Video model parity across a 3-frame GOP: exercises keyframe coding,
     motion/residual hyperpriors, the gaussian scale-space volume, and the
@@ -372,6 +459,121 @@ def test_rgbt_guided_master_parity():
     )
     np.testing.assert_allclose(
         np.asarray(ours_m["x_hat"]), t(m_out["x_hat"]), atol=5e-6
+    )
+
+
+@pytest.mark.slow
+def test_parity_kodak_size():
+    """Shape-scaled parity at 768x512 (Kodak): byte-identical hyperprior
+    bitstreams and mbt2018 forward parity. Padding, wavefront windows and
+    index bucketing are shape-dependent; 64x64 alone cannot regress them."""
+    import torch
+
+    from lmic_tpu import zoo
+    from lmic_tpu.zoo.pretrained import (
+        import_reference_coding_state,
+        import_reference_state_dict,
+    )
+
+    torch.manual_seed(0)
+    x = torch.rand(1, 3, 512, 768)
+    xj = np.transpose(x.numpy(), (0, 2, 3, 1))
+
+    ref = _ref_models()["bmshj2018-hyperprior"]()
+    ref.eval()
+    ref.update(force=True)
+    with torch.no_grad():
+        ref_enc = ref.compress(x)
+    codec = zoo.create_model(
+        "bmshj2018-hyperprior", 1, key=jax.random.key(0),
+        input_size=(512, 768), N=64, M=96,
+    )
+    codec = type(codec)(
+        codec.module,
+        import_reference_state_dict(
+            "bmshj2018-hyperprior", ref.state_dict(), codec.variables
+        ),
+    )
+    assert import_reference_coding_state(ref.state_dict(), codec)
+    ours = codec.compress(xj)
+    for g_ours, g_ref in zip(ours["strings"], ref_enc["strings"]):
+        assert [bytes(s) for s in g_ours] == [bytes(s) for s in g_ref]
+
+    ref_j = _ref_models()["mbt2018"]()
+    ref_j.eval()
+    with torch.no_grad():
+        out_ref = ref_j(x)
+    mj = _our_module("mbt2018")
+    variables = mj.init(
+        {"params": jax.random.key(0), "noise": jax.random.key(1)}, xj
+    )
+    variables = import_reference_state_dict(
+        "mbt2018", ref_j.state_dict(), variables
+    )
+    out = mj.apply(variables, xj, training=False)
+    np.testing.assert_allclose(
+        np.asarray(out["x_hat"]),
+        np.transpose(out_ref["x_hat"].numpy(), (0, 2, 3, 1)),
+        atol=2e-5,
+    )
+
+
+@pytest.mark.slow
+def test_rgbt_parity_reference_shape():
+    """Guided/master parity at the reference's hard-wired eval geometry
+    (Master_compresser(width=512, height=640), train.py:379 /
+    codec_rgbt.py:484) at HALF linear scale: channel=1 (thermal master,
+    RGB guide at 2x), master 256x320, guide 512x640. Non-square shapes
+    exercise the Swin shift masks, window clamping and the raw-view
+    token-to-spatial reinterpretation (master.py:739) in a way square
+    tests cannot; half scale keeps the run tractable (the full 512x640
+    feature geometry costs >5 min in the torch reference alone on this
+    1-core host) while hitting the same stride/window arithmetic."""
+    import torch
+
+    from lmic_tpu import zoo
+    from lmic_tpu.zoo.pretrained import import_reference_state_dict
+
+    from compressai.models.master import Guided_compresser, Master_compresser
+
+    torch.manual_seed(0)
+    g_ref = Guided_compresser(channel=3)
+    g_ref.eval()
+    m_ref = Master_compresser(width=256, height=320, channel=1)
+    m_ref.eval()
+    xg = torch.rand(1, 3, 512, 640)
+    xm = torch.rand(1, 1, 256, 320)
+    with torch.no_grad():
+        g_out = g_ref(xg)
+        m_out = m_ref(xm, g_out["x_hat"], g_out["hidden"])
+
+    def t(a):
+        return np.transpose(a.detach().numpy(), (0, 2, 3, 1))
+
+    gc = zoo.create_model(
+        "guided", 1, key=jax.random.key(0), input_size=(512, 640),
+        channel=3,
+    )
+    gv = import_reference_state_dict("guided", g_ref.state_dict(),
+                                     gc.variables)
+    ours_g = gc.module.apply(gv, t(xg), training=False)
+    np.testing.assert_allclose(
+        np.asarray(ours_g["x_hat"]), t(g_out["x_hat"]), atol=1e-5
+    )
+
+    mc = zoo.create_model(
+        "master", 1, key=jax.random.key(0), input_size=(256, 320),
+        channel=1,
+    )
+    mv = import_reference_state_dict("master", m_ref.state_dict(),
+                                     mc.variables)
+    hidden = {k: t(v) for k, v in g_out["hidden"].items()
+              if k.startswith("gs")}
+    ours_m = mc.module.apply(
+        mv, t(xm), t(g_out["x_hat"]), hidden, training=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours_m["x_hat"]), t(m_out["x_hat"]), atol=1e-5
     )
 
 
@@ -480,6 +682,83 @@ def test_update_model_from_torch(tmp_path):
     o = codec.compress(x)
     r = codec.decompress(o["strings"], o["shape"])
     assert r["x_hat"].shape == x.shape
+
+
+def test_update_model_from_torch_adopts_baked_tables(tmp_path):
+    """lmic-update-model --from-torch on an updated reference checkpoint
+    must adopt its baked CDF buffers, so the deployment codec's bitstreams
+    byte-match the original torch model's."""
+    import torch
+
+    from compressai.models.google import ScaleHyperprior
+
+    from lmic_tpu import zoo
+    from lmic_tpu.utils.checkpoint import load_updated_model
+    from lmic_tpu.utils.update_model_cli import run
+
+    torch.manual_seed(0)
+    ref = ScaleHyperprior(128, 192)
+    ref.eval()
+    ref.update(force=True)
+    pth = tmp_path / "ref.pth.tar"
+    torch.save({"state_dict": ref.state_dict()}, pth)
+
+    out = run([
+        str(pth), "-a", "bmshj2018-hyperprior", "-q", "1",
+        "--from-torch", "-d", str(tmp_path),
+    ])
+    codec = zoo.create_model(
+        "bmshj2018-hyperprior", 1, key=jax.random.key(0),
+        input_size=(64, 64),
+    )
+    codec = load_updated_model(out, codec)
+
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        ref_enc = ref.compress(x)
+    ours = codec.compress(np.transpose(x.numpy(), (0, 2, 3, 1)))
+    for g_ours, g_ref in zip(ours["strings"], ref_enc["strings"]):
+        assert [bytes(s) for s in g_ours] == [bytes(s) for s in g_ref]
+
+
+def test_pretrained_url_registry():
+    """The URL tables must match the reference zoo exactly
+    (zoo/image.py:60-187, zoo/video.py:44-56), and resolution must fail
+    with actionable messages offline / for the link-only RGBT weights."""
+    from compressai.zoo.image import model_urls as ref_img_urls
+    from compressai.zoo.video import model_urls as ref_vid_urls
+
+    from lmic_tpu.zoo import urls
+
+    for arch, metrics in ref_img_urls.items():
+        for metric, table in metrics.items():
+            assert urls.model_urls[arch][metric] == dict(table), (
+                arch, metric
+            )
+    assert (urls.model_urls["ssf2020"]["mse"]
+            == dict(ref_vid_urls["ssf2020"]["mse"]))
+
+    with pytest.raises(ValueError, match="from-torch"):
+        urls.pretrained_url("guided", 1)
+    with pytest.raises(ValueError, match="no pretrained entry"):
+        urls.pretrained_url("bmshj2018-factorized", 99)
+
+    # offline resolution: cache miss + failed download -> actionable error
+    import urllib.request
+
+    def boom(*a, **k):
+        raise OSError("no network")
+
+    orig = urllib.request.urlretrieve
+    urllib.request.urlretrieve = boom
+    try:
+        import os
+        os.environ["LMIC_PRETRAINED_DIR"] = "/tmp/lmic-no-such-cache"
+        with pytest.raises(RuntimeError, match="place the file"):
+            urls.fetch_pretrained("mbt2018", 1)
+    finally:
+        urllib.request.urlretrieve = orig
+        os.environ.pop("LMIC_PRETRAINED_DIR", None)
 
 
 def test_quality_tables_match_reference():

@@ -179,6 +179,41 @@ class TestShardedCodec:
         r2 = sharded.decompress(out2["strings"], out2["shape"], u8=True)
         np.testing.assert_array_equal(r1["x_hat"], r2["x_hat"])
 
+    def test_ar_fanout_matches_single_device(self):
+        """mbt2018 multi-device serving: per-image wavefront scans fanned
+        across the mesh must produce byte-identical streams and identical
+        reconstructions to the single-device loop (the virtual CPU mesh
+        devices are homogeneous, as real ICI meshes are)."""
+        import jax
+
+        from lmic_tpu import parallel, zoo
+
+        x = np.random.default_rng(0).random((4, 64, 64, 3)).astype(
+            np.float32
+        )
+        single = zoo.create_model(
+            "mbt2018", 1, key=jax.random.key(0), input_size=(64, 64),
+            N=32, M=48,
+        )
+        single.update(force=True)
+        out1 = single.compress(x)
+        r1 = single.decompress(out1["strings"], out1["shape"])
+
+        sharded = zoo.create_model(
+            "mbt2018", 1, key=jax.random.key(0), input_size=(64, 64),
+            N=32, M=48,
+        )
+        sharded.update(force=True)
+        parallel.shard_codec(sharded, parallel.make_mesh(4))
+        assert sharded._fanout_devices is not None
+        out2 = sharded.compress(x)
+        assert [bytes(s) for s in out2["strings"][0]] == [
+            bytes(s) for s in out1["strings"][0]
+        ]
+        assert out2["strings"][1] == out1["strings"][1]
+        r2 = sharded.decompress(out2["strings"], out2["shape"])
+        np.testing.assert_array_equal(r1["x_hat"], r2["x_hat"])
+
 
 class TestDeterminism:
     def test_same_seed_same_losses(self):
