@@ -408,6 +408,21 @@ class _HyperpriorState:
         return jnp.asarray(symbols.astype(np.float32) + means)
 
 
+def _slice_strings(s, lo, hi):
+    """Per-frame strings are [y_strings, z_strings] lists (keyframe) or
+    {"motion"/"residual": [...]} dicts (inter); slice the batch items."""
+    if isinstance(s, dict):
+        return {k: _slice_strings(v, lo, hi) for k, v in s.items()}
+    return [part[lo:hi] for part in s]
+
+
+def _merge_strings(parts):
+    """Inverse of _slice_strings: concatenate per-chunk batch items."""
+    if isinstance(parts[0], dict):
+        return {k: _merge_strings([p[k] for p in parts]) for k in parts[0]}
+    return [sum((p[i] for p in parts), []) for i in range(len(parts[0]))]
+
+
 class ScaleSpaceFlowCodec(CompressionCodec):
     """Host codec wrapper: frame loop, three hyperprior states."""
 
@@ -435,6 +450,35 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             lambda a, b: module.apply(variables, a, b, method=cls.res_decode)
         )
         self.hp_states: Dict[str, _HyperpriorState] = {}
+        # multi-device serving: per-device sequence chunks (fanout())
+        self._fanout_devices = None
+
+    def fanout(self, devices):
+        """Serve multi-sequence batches across `devices`: the batch axis is
+        split into contiguous per-device chunks, each chunk's whole GOP
+        chain (inter-frame dependencies included) running on its own chip.
+        Sequences are independent, so the result is bit-equal to the
+        single-device path on a homogeneous device set."""
+        devices = list(devices)
+        kinds = {d.device_kind for d in devices}
+        if len(kinds) > 1:
+            raise ValueError(f"heterogeneous device set: {kinds}")
+        self._fanout_devices = devices
+        return self
+
+    def _chunk_map(self, B, fn):
+        """fn(lo, hi, device) per contiguous batch chunk, on a thread pool
+        (jit dispatch + host rANS coding release the GIL)."""
+        devs = self._fanout_devices
+        n = min(len(devs), B)
+        bounds = [(B * i // n, B * (i + 1) // n) for i in range(n)]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n) as pool:
+            return list(pool.map(
+                lambda i: fn(*bounds[i], devs[i]), range(n)
+            ))
 
     def __call__(self, frames, training: bool = False, key=None):
         rngs = {"noise": key} if training else None
@@ -504,6 +548,22 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         """frames: (B, T, H, W, 3) -> (frame_strings, shape_infos)."""
         self._check_updated()
         frames = np.asarray(frames)
+        if self._fanout_devices and frames.shape[0] > 1:
+            def one(lo, hi, dev):
+                with jax.default_device(dev):
+                    return self._compress_chunk(
+                        jax.device_put(jnp.asarray(frames[lo:hi]), dev)
+                    )
+
+            parts = self._chunk_map(frames.shape[0], one)
+            frame_strings = [
+                _merge_strings([p[0][i] for p in parts])
+                for i in range(len(parts[0][0]))
+            ]
+            return frame_strings, parts[0][1]
+        return self._compress_chunk(frames)
+
+    def _compress_chunk(self, frames):
         frame_strings, shape_infos = [], []
         x_ref, out = self.encode_keyframe(frames[:, 0])
         frame_strings.append(out["strings"])
@@ -517,6 +577,18 @@ class ScaleSpaceFlowCodec(CompressionCodec):
     def decompress(self, strings, shapes):
         self._check_updated()
         assert len(strings) == len(shapes)
+        B = len(strings[0][0])
+        if self._fanout_devices and B > 1:
+            def one(lo, hi, dev):
+                with jax.default_device(dev):
+                    return self._decompress_chunk(
+                        [_slice_strings(s, lo, hi) for s in strings], shapes
+                    )
+
+            return np.concatenate(self._chunk_map(B, one), axis=0)
+        return self._decompress_chunk(strings, shapes)
+
+    def _decompress_chunk(self, strings, shapes):
         x_ref = self.decode_keyframe(strings[0], shapes[0])
         frames = [x_ref]
         for i in range(1, len(strings)):

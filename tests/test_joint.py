@@ -74,8 +74,10 @@ class TestWavefrontRoundtrip:
 
             dec = rans.RansDecoder()
             dec.set_stream(out["strings"][0][i])
-            box["dec"] = dec
-            dec_y_hat = np.asarray(dec_scan(jnp.asarray(params[i])))
+            box["lanes"] = [dec]
+            dec_y_hat = np.asarray(
+                dec_scan(jnp.asarray(params[i]), jnp.int32(0))
+            )
             np.testing.assert_array_equal(dec_y_hat, enc_y_hat)
 
     def test_coded_size_close_to_likelihood_estimate(self, codec):

@@ -85,3 +85,28 @@ class TestCodecRoundtrip:
             x_ref_dec, out_inter["strings"], out_inter["shape"]
         )
         np.testing.assert_array_equal(x_rec_enc, x_rec_dec)
+
+
+class TestFanout:
+    def test_fanout_matches_single_device(self, codec):
+        """shard_codec routes the video codec to per-device sequence
+        chunks; strings and reconstructions must be bit-equal to the
+        single-device path (homogeneous virtual CPU mesh)."""
+        from lmic_tpu.parallel import make_mesh, shard_codec
+
+        codec.update()
+        frames = np.asarray(
+            jax.random.uniform(jax.random.key(9), (2, 2, 128, 128, 3))
+        )
+        single_strings, single_shapes = codec.compress(frames)
+        rec_single = codec.decompress(single_strings, single_shapes)
+
+        fan = shard_codec(codec, make_mesh(2))
+        try:
+            fan_strings, fan_shapes = fan.compress(frames)
+            assert fan_strings == single_strings
+            assert fan_shapes == single_shapes
+            rec_fan = fan.decompress(fan_strings, fan_shapes)
+            np.testing.assert_array_equal(rec_fan, rec_single)
+        finally:
+            codec._fanout_devices = None
