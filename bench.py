@@ -124,7 +124,9 @@ def bench_ar(arch, B=2, iters=3):
 
 
 def bench_video(T=3, iters=4):
-    """ssf2020: 3-frame GOP (I + 2 P), full compress+decompress."""
+    """ssf2020: 3-frame GOP (I + 2 P), full compress+decompress. uint8
+    pixels both ways (the production representation; 4x thinner on the
+    host-device link than f32)."""
     import jax
 
     from lmic_tpu import zoo
@@ -134,20 +136,38 @@ def bench_video(T=3, iters=4):
     )
     codec.update(force=True)
     rng = np.random.default_rng(0)
-    frames = rng.random((1, T, H, W, 3), dtype=np.float32)
+    frames = (rng.random((1, T, H, W, 3)) * 255).astype(np.uint8)
 
     strings, shapes = codec.compress(frames)  # warmup/compile
-    rec = codec.decompress(strings, shapes)
-    assert rec.shape == frames.shape
+    rec = codec.decompress(strings, shapes, u8=True)
+    assert rec.shape == frames.shape and rec.dtype == np.uint8
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         strings, shapes = codec.compress(frames)
-        rec = codec.decompress(strings, shapes)
+        rec = codec.decompress(strings, shapes, u8=True)
         assert rec.shape == frames.shape
         times.append(time.perf_counter() - t0)
     return _median_mp_s(times, T * H * W / 1e6)
+
+
+def probe_link_bandwidth(mb: int = 16):
+    """Round-trip bandwidth of the host-device link (MB/s). The tunnel's
+    bandwidth varies ~2x run to run and bounds the pipelined configs, so
+    record it alongside the throughput numbers."""
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.zeros(mb << 20, np.uint8)
+    dev = jax.device_put(buf)  # warm the path
+    _ = np.asarray(dev)
+    t0 = time.perf_counter()
+    dev = jax.device_put(buf)
+    dev.block_until_ready()
+    _ = np.asarray(dev)
+    dt = time.perf_counter() - t0
+    return 2 * mb / dt
 
 
 def main():
@@ -157,6 +177,15 @@ def main():
         print("TPU probe failed/hung; benchmarking on CPU backend",
               file=sys.stderr)
         os.environ["LMIC_PLATFORM"] = "cpu"
+
+    try:  # persist compiled executables across bench runs (compiles are
+        import jax  # 1-2 min per AR/video config on the tunnel)
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lmic_xla_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:  # pragma: no cover
+        pass
 
     only = os.environ.get("LMIC_BENCH_CONFIGS")
     selected = set(only.split(",")) if only else set(BASELINES)
@@ -170,6 +199,13 @@ def main():
         "cheng2020-attn": lambda: bench_ar("cheng2020-attn"),
         "ssf2020": bench_video,
     }
+
+    try:
+        link = round(probe_link_bandwidth(), 1)
+    except Exception:  # pragma: no cover - probe must never kill the bench
+        link = None
+    print(json.dumps({"metric": "host_device_link_bandwidth",
+                      "value": link, "unit": "MB/s"}), flush=True)
 
     speedups = []
     for name, run in runners.items():
@@ -200,19 +236,23 @@ def main():
                 "cpu" if _ar_decode_device() is not None else "default"
             )
         print(json.dumps(line), flush=True)
+        # refresh the headline after EVERY config: the driver parses the
+        # LAST JSON line, and a full 5-config run (compiles included) can
+        # outlive an external timeout — a truncated run must still end on
+        # a valid geomean over the configs that completed
+        geomean = float(np.exp(np.mean(np.log(speedups))))
+        print(json.dumps({
+            "metric": "encdec_speedup_geomean_vs_cpu_reference",
+            "value": round(geomean, 2),
+            "unit": "x",
+            "vs_baseline": round(geomean, 2),
+            "n_configs": len(speedups),
+        }), flush=True)
 
     if not speedups:
         print(json.dumps({"metric": "encdec_speedup_geomean",
                           "value": None, "unit": "x", "vs_baseline": None}))
         return 1
-    geomean = float(np.exp(np.mean(np.log(speedups))))
-    print(json.dumps({
-        "metric": "encdec_speedup_geomean_vs_cpu_reference",
-        "value": round(geomean, 2),
-        "unit": "x",
-        "vs_baseline": round(geomean, 2),
-        "n_configs": len(speedups),
-    }))
 
 
 if __name__ == "__main__":

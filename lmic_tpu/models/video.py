@@ -452,6 +452,17 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         self.hp_states: Dict[str, _HyperpriorState] = {}
         # multi-device serving: per-device sequence chunks (fanout())
         self._fanout_devices = None
+        # u8 pixel path: frames are uint8 at rest, so the host-device link
+        # moves 1 byte/px instead of 4 (the image codecs' fast path; the
+        # GOP chain itself is unchanged — ingest/egress convert on device)
+        self._ingest_u8 = jax.jit(
+            lambda u8: u8.astype(jnp.float32) / 255.0
+        )
+        self._egress_u8 = jax.jit(
+            lambda x: jnp.round(
+                jnp.clip(x, 0.0, 1.0) * 255.0
+            ).astype(jnp.uint8)
+        )
 
     def fanout(self, devices):
         """Serve multi-sequence batches across `devices`: the batch axis is
@@ -545,15 +556,17 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         return x_pred + x_res_hat
 
     def compress(self, frames):
-        """frames: (B, T, H, W, 3) -> (frame_strings, shape_infos)."""
+        """frames: (B, T, H, W, 3) -> (frame_strings, shape_infos).
+        uint8 frames take the thin-transfer path (converted on device)."""
         self._check_updated()
         frames = np.asarray(frames)
         if self._fanout_devices and frames.shape[0] > 1:
             def one(lo, hi, dev):
                 with jax.default_device(dev):
-                    return self._compress_chunk(
-                        jax.device_put(jnp.asarray(frames[lo:hi]), dev)
-                    )
+                    chunk = jax.device_put(jnp.asarray(frames[lo:hi]), dev)
+                    if chunk.dtype == jnp.uint8:
+                        chunk = self._ingest_u8(chunk)
+                    return self._compress_chunk(chunk)
 
             parts = self._chunk_map(frames.shape[0], one)
             frame_strings = [
@@ -561,6 +574,9 @@ class ScaleSpaceFlowCodec(CompressionCodec):
                 for i in range(len(parts[0][0]))
             ]
             return frame_strings, parts[0][1]
+        frames = jnp.asarray(frames)
+        if frames.dtype == jnp.uint8:
+            frames = self._ingest_u8(frames)
         return self._compress_chunk(frames)
 
     def _compress_chunk(self, frames):
@@ -574,7 +590,9 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             shape_infos.append(out["shape"])
         return frame_strings, shape_infos
 
-    def decompress(self, strings, shapes):
+    def decompress(self, strings, shapes, u8: bool = False):
+        """u8=True fetches the reconstruction as uint8 (thin-transfer
+        egress, converted on device) — the production representation."""
         self._check_updated()
         assert len(strings) == len(shapes)
         B = len(strings[0][0])
@@ -582,17 +600,21 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             def one(lo, hi, dev):
                 with jax.default_device(dev):
                     return self._decompress_chunk(
-                        [_slice_strings(s, lo, hi) for s in strings], shapes
+                        [_slice_strings(s, lo, hi) for s in strings],
+                        shapes, u8=u8,
                     )
 
             return np.concatenate(self._chunk_map(B, one), axis=0)
-        return self._decompress_chunk(strings, shapes)
+        return self._decompress_chunk(strings, shapes, u8=u8)
 
-    def _decompress_chunk(self, strings, shapes):
+    def _decompress_chunk(self, strings, shapes, u8: bool = False):
         x_ref = self.decode_keyframe(strings[0], shapes[0])
         frames = [x_ref]
         for i in range(1, len(strings)):
             x_ref = self.decode_inter(x_ref, strings[i], shapes[i])
             frames.append(x_ref)
         # one stacked transfer instead of one per frame
-        return np.asarray(jnp.stack(frames, axis=1))
+        stacked = jnp.stack(frames, axis=1)
+        if u8:
+            stacked = self._egress_u8(stacked)
+        return np.asarray(stacked)

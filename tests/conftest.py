@@ -16,3 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The suite is XLA-compile-dominated (~2/3 of wall time); persist compiled
+# executables across runs. Keyed on program + compiler version, so stale
+# entries can't produce wrong results — at worst a recompile.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("LMIC_TEST_XLA_CACHE", "/tmp/lmic_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

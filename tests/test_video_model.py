@@ -110,3 +110,26 @@ class TestFanout:
             np.testing.assert_array_equal(rec_fan, rec_single)
         finally:
             codec._fanout_devices = None
+
+
+class TestU8PixelPath:
+    def test_u8_matches_f32_path(self, codec):
+        """uint8 frames convert on device (thin link transfers); streams
+        and reconstructions must match the f32 path bit-for-bit."""
+        codec.update()
+        rng = np.random.default_rng(11)
+        u8 = (rng.random((1, 2, 128, 128, 3)) * 255).astype(np.uint8)
+        f32 = u8.astype(np.float32) / 255.0
+
+        s_u8, sh_u8 = codec.compress(u8)
+        s_f32, sh_f32 = codec.compress(f32)
+        assert s_u8 == s_f32
+        assert sh_u8 == sh_f32
+
+        rec_u8 = codec.decompress(s_u8, sh_u8, u8=True)
+        assert rec_u8.dtype == np.uint8
+        rec_f32 = codec.decompress(s_f32, sh_f32)
+        np.testing.assert_array_equal(
+            rec_u8,
+            np.round(np.clip(rec_f32, 0.0, 1.0) * 255.0).astype(np.uint8),
+        )
