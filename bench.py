@@ -82,16 +82,23 @@ def bench_pipelined(arch, B=8, iters=12):
     times = []
     t_prev = time.perf_counter()
     fin_enc = codec.compress_async(x)
+    prev_dec = None
     for i in range(iters):
         next_enc = codec.compress_async(x) if i + 1 < iters else None
         out = fin_enc()                       # host rANS encode
-        fin_dec = codec.decompress_async(out["strings"], out["shape"])
-        rec = fin_dec()["x_hat"]              # blocks on device synthesis
-        assert rec.shape == x.shape
+        # decode runs on the codec's worker thread: batch i's decode legs
+        # overlap batch i+1's encode legs (the link is full-duplex)
+        this_dec = codec.decompress_async(out["strings"], out["shape"])
+        if prev_dec is not None:
+            rec = prev_dec()["x_hat"]         # joins batch i-1's decode
+            assert rec.shape == x.shape
+            now = time.perf_counter()
+            times.append(now - t_prev)
+            t_prev = now
+        prev_dec = this_dec
         fin_enc = next_enc
-        now = time.perf_counter()
-        times.append(now - t_prev)
-        t_prev = now
+    rec = prev_dec()["x_hat"]
+    assert rec.shape == x.shape
     return _median_mp_s(times, B * H * W / 1e6)
 
 

@@ -74,6 +74,33 @@ class CompressionCodec:
     def decompress(self, strings, shape) -> Dict[str, Any]:
         raise NotImplementedError
 
+    @property
+    def _host_worker(self):
+        """Single worker thread for the host half of decompress_async: a
+        caller pipelining batches then overlaps this batch's decode legs
+        (host rANS + its transfers) with the next batch's encode legs —
+        the host-device link is full-duplex, so up and down legs that run
+        concurrently cost max() instead of sum(). Host coding and jit
+        dispatch both release the GIL."""
+        pool = getattr(self, "_host_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = self._host_pool = ThreadPoolExecutor(max_workers=1)
+        return pool
+
+    @staticmethod
+    def _decode_threaded() -> bool:
+        """LMIC_DECODE_THREAD=1 moves decompress_async's host half to the
+        worker thread. Default off: measured A/B on the tunnel TPU shows
+        concurrent transfers interleave erratically there (1.1-2.6 MP/s
+        run-to-run vs a stable 1.9-2.4 inline); the inline path still
+        overlaps the final pixel download with the next batch's legs when
+        the caller pipelines (bench.py bench_pipelined)."""
+        import os
+
+        return os.environ.get("LMIC_DECODE_THREAD", "0") == "1"
+
 
 class FactorizedPriorCodec(CompressionCodec):
     """bmshj2018-factorized coding wrapper."""
@@ -208,13 +235,21 @@ class FactorizedPriorCodec(CompressionCodec):
         return {"strings": [y_strings], "shape": y.shape[1:3]}
 
     def decompress_async(self, strings, shape):
-        """Host-decode symbols, dispatch the device synthesis, and return a
-        finalizer producing the uint8 reconstruction. While `finalize()` of
-        one batch blocks on the device, the host can already be decoding the
-        next batch's symbols."""
+        """Decode on the worker thread (see _host_worker) and return a
+        finalizer producing the uint8 reconstruction: a pipelining caller
+        overlaps this batch's decode legs with the next batch's encode."""
         self._check_updated()
         if not hasattr(self, "_enc_u8"):
             self._build_u8_fns()
+        if not self._decode_threaded():
+            x_dev = self._decompress_u8_body(strings, shape)
+            return lambda: {"x_hat": np.asarray(x_dev)}
+        fut = self._host_worker.submit(
+            self._decompress_u8_body, strings, shape
+        )
+        return lambda: {"x_hat": np.asarray(fut.result())}
+
+    def _decompress_u8_body(self, strings, shape):
         from lmic_tpu.entropy import coder as _rans
 
         C = len(self.eb_state.medians)
@@ -223,12 +258,7 @@ class FactorizedPriorCodec(CompressionCodec):
         sym = _rans.decode_batch(strings[0], indexes, self.eb_state.table)
         sym = sym.reshape(len(strings[0]), C, H, W)
         sym = sym.astype(_narrowest_int(sym))
-        x_dev = self._dec_u8(jnp.asarray(sym))  # async dispatch
-
-        def finalize():
-            return {"x_hat": np.asarray(x_dev)}
-
-        return finalize
+        return self._dec_u8(jnp.asarray(sym))  # device value (async)
 
     def decompress(self, strings, shape, u8: bool = False):
         self._check_updated()
@@ -236,16 +266,9 @@ class FactorizedPriorCodec(CompressionCodec):
         if u8:
             if not hasattr(self, "_enc_u8"):
                 self._build_u8_fns()
-            from lmic_tpu.entropy import coder as _rans
-
-            C = len(self.eb_state.medians)
-            H, W = shape
-            indexes = np.repeat(np.arange(C, dtype=np.int32), H * W)
-            sym = _rans.decode_batch(strings[0], indexes, self.eb_state.table)
-            sym = sym.reshape(len(strings[0]), C, H, W)
-            sym = sym.astype(_narrowest_int(sym))
-            x_u8 = np.asarray(self._dec_u8(jnp.asarray(sym)))
-            return {"x_hat": x_u8}
+            return {"x_hat": np.asarray(
+                self._decompress_u8_body(strings, shape)
+            )}
         y_hat = self.eb_state.decompress(strings[0], tuple(shape))
         x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
         return {"x_hat": x_hat}
@@ -416,10 +439,13 @@ class HyperpriorCodec(CompressionCodec):
 
     def _finish_compress_u8(self, x: np.ndarray, pending):
         y_dev, z8, zovf = pending
-        if int(zovf) != 0:  # pragma: no cover - extreme hyper latents
-            return self.compress(x.astype(np.float32) / 255.0)
+        # dispatch the params/symbol passes BEFORE blocking on the overflow
+        # flag: they only depend on device values, and the zovf fetch then
+        # overlaps their compute (on overflow the results are discarded)
         idx_dev, means_dev = self._params_from_zsym(z8)   # async
         y_pend = self._ysym(y_dev, means_dev)             # async
+        if int(zovf) != 0:  # pragma: no cover - extreme hyper latents
+            return self.compress(x.astype(np.float32) / 255.0)
         z_sym = np.asarray(z8, dtype=np.int32)
         B, Cz = z_sym.shape[:2]
         ch_idx = np.broadcast_to(
@@ -448,13 +474,25 @@ class HyperpriorCodec(CompressionCodec):
         return self._finish_compress_u8(x, pending)
 
     def decompress_async(self, strings, shape):
-        """Host decode + device synthesis dispatch; finalizer blocks on the
-        uint8 reconstruction."""
+        """Decode on the worker thread (see _host_worker); the finalizer
+        blocks on the uint8 reconstruction. A pipelining caller overlaps
+        this batch's decode legs (z decode, index download, y decode and
+        upload, pixel download) with the next batch's encode legs."""
         self._check_updated()
-        out = self._decompress_u8(strings, shape, _async=True)
-        if callable(out):
-            return out
-        return lambda: out
+        if not hasattr(self, "_analyze_u8"):
+            self._build_u8_fns()
+        if not self._decode_threaded():
+            out = self._decompress_u8(strings, shape, True)
+            return out if callable(out) else (lambda: out)
+        fut = self._host_worker.submit(
+            self._decompress_u8, strings, shape, True
+        )
+
+        def finalize():
+            out = fut.result()
+            return out() if callable(out) else out
+
+        return finalize
 
     def _decompress_u8(self, strings, shape, _async: bool = False):
         if not hasattr(self, "_analyze_u8"):
