@@ -36,6 +36,7 @@ MODEL_IDS = {
     "cheng2020-attn": 5,
     "guided": 6,
     "master": 7,
+    "ssf2020": 8,
 }
 ID_TO_MODEL = {v: k for k, v in MODEL_IDS.items()}
 METRIC_IDS = {"mse": 0, "ms-ssim": 1}
@@ -142,11 +143,13 @@ def decode_image(input_path, output_path, make_codec):
 
 
 def encode_rgbt(master_path, guide_path, output_path, guided_codec,
-                master_codec, quality, metric="mse"):
+                master_codec, quality, metric="mse", channel=1):
     """Guide is coded + decoded, master conditioned on the reconstruction;
-    beta/gamma go into the container (codec_rgbt.py:328-386)."""
-    x = _load(master_path, channel=3)
-    guided = _load(guide_path, channel=1)
+    beta/gamma go into the container (codec_rgbt.py:328-386). `channel` is
+    the master's channel count; the guide gets the complementary modality
+    (eval CLI convention: master=channel, guide=4-channel)."""
+    x = _load(master_path, channel=channel)
+    guided = _load(guide_path, channel=4 - channel)
     g_out = guided_codec.compress(guided)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
     m_out = master_codec.compress(x, g_dec["x_hat"])
@@ -165,7 +168,7 @@ def encode_rgbt(master_path, guide_path, output_path, guided_codec,
 
 
 def decode_rgbt(input_path, guide_path, output_path, guided_codec,
-                master_codec):
+                master_codec, channel=1):
     """The decoder re-codes the guide from its own source
     (codec_rgbt.py:538-544)."""
     with open(input_path, "rb") as f:
@@ -179,7 +182,7 @@ def decode_rgbt(input_path, guide_path, output_path, guided_codec,
             1, 1, 1, 64
         )
         shape, strings = read_body(f)
-    guided = _load(guide_path, channel=1)
+    guided = _load(guide_path, channel=4 - channel)
     g_out = guided_codec.compress(guided)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
     rec = master_codec.decompress(
@@ -189,24 +192,129 @@ def decode_rgbt(input_path, guide_path, output_path, guided_codec,
     _save(rec["x_hat"][:, :H, :W], output_path)
 
 
+def encode_video(input_path, output_path, codec, quality, metric="mse",
+                 num_frames: int = -1):
+    """ssf2020 file coding on a raw YUV420 sequence: one reference chain
+    over the whole sequence — keyframe body, then per inter frame one
+    body for motion and one for residual (codec_rgbt.py:389-450)."""
+    from lmic_tpu.datasets.rawvideo import RawVideoSequence, VideoFormat
+    from lmic_tpu.utils.video_eval import pad_frames, yuv420_frame_to_rgb
+
+    seq = RawVideoSequence.from_file(str(input_path))
+    if seq.video_format != VideoFormat.YUV420:
+        raise NotImplementedError(f"unsupported format: {seq.video_format}")
+    n = len(seq) if num_frames < 0 else min(num_frames, len(seq))
+    with open(output_path, "wb") as f:
+        write_uints(f, (MAGIC,))
+        write_uchars(f, (MODEL_IDS["ssf2020"],
+                         (METRIC_IDS[metric] << 4) | (quality - 1)))
+        write_uints(f, (seq.height, seq.width))
+        write_uchars(f, (seq.bitdepth,))
+        write_uints(f, (n,))
+        x_ref = None
+        for i in range(n):
+            x, _ = pad_frames(yuv420_frame_to_rgb(seq[i], seq.bitdepth),
+                              p=128)
+            if i == 0:
+                x_ref, out = codec.encode_keyframe(x)
+                write_body(f, out["shape"], out["strings"])
+            else:
+                x_ref, out = codec.encode_inter(x, x_ref)
+                for part in ("motion", "residual"):
+                    write_body(f, out["shape"][part], out["strings"][part])
+            x_ref = np.clip(np.asarray(x_ref), 0.0, 1.0)
+    seq.close()
+    return Path(output_path).stat().st_size
+
+
+def _rgb_to_yuv420_planes(rgb, bitdepth=8):
+    """(1, H, W, 3) float RGB -> (y, u, v) integer planes (BT.709,
+    avg-pool chroma subsampling like the reference's convert_rgb_yuv420)."""
+    import jax.numpy as jnp
+
+    from lmic_tpu.transforms import rgb2ycbcr, yuv_444_to_420
+
+    max_val = 2**bitdepth - 1
+    dtype = np.uint8 if bitdepth == 8 else np.uint16
+    y, u, v = yuv_444_to_420(rgb2ycbcr(jnp.asarray(rgb)))
+    return tuple(
+        np.clip(
+            np.round(np.asarray(t)[0, :, :, 0] * max_val), 0, max_val
+        ).astype(dtype)
+        for t in (y, u, v)
+    )
+
+
+def decode_video(f, output_path, make_codec, quality):
+    """Mirror of encode_video; writes the reconstruction back as raw
+    YUV420 (or the last frame as an image for non-.yuv outputs)."""
+    H, W = read_uints(f, 2)
+    (bitdepth,) = read_uchars(f, 1)
+    (n,) = read_uints(f, 1)
+    codec = make_codec("ssf2020", quality)
+    out_is_yuv = str(output_path).endswith(".yuv")
+    x_ref = None
+    img = None
+    for i in range(n):
+        if i == 0:
+            shape, strings = read_body(f)
+            x_ref = codec.decode_keyframe(strings, shape)
+        else:
+            mshape, mstrings = read_body(f)
+            rshape, rstrings = read_body(f)
+            x_ref = codec.decode_inter(
+                x_ref,
+                {"motion": mstrings, "residual": rstrings},
+                {"motion": mshape, "residual": rshape},
+            )
+        x_ref = np.clip(np.asarray(x_ref), 0.0, 1.0)
+        img = x_ref[:, :H, :W]
+        if out_is_yuv:
+            y, u, v = _rgb_to_yuv420_planes(img, bitdepth)
+            with open(output_path, "wb" if i == 0 else "ab") as fout:
+                for plane in (y, u, v):
+                    plane.tofile(fout)
+    if not out_is_yuv and img is not None:
+        _save(img, output_path)
+    return n
+
+
 def parse_args(argv):
     p = argparse.ArgumentParser(description="lmic_tpu file codec")
     sub = p.add_subparsers(dest="command", required=True)
     e = sub.add_parser("encode")
-    e.add_argument("input")
+    e.add_argument("input", help="image, .yuv sequence (ssf2020), or the "
+                                 "master image when --guide is given")
     e.add_argument("-o", "--output", default="out.bin")
     e.add_argument("--arch", default="bmshj2018-factorized")
     e.add_argument("-q", "--quality", type=int, default=1)
     e.add_argument("--checkpoint", default=None)
+    e.add_argument("--frames", type=int, default=-1,
+                   help="ssf2020: number of frames to code (-1 = all)")
+    e.add_argument("--guide", default=None,
+                   help="RGBT: guide-image path (arch becomes master)")
+    e.add_argument("--guided-checkpoint", default=None,
+                   help="RGBT: deployment checkpoint for the guide codec")
+    e.add_argument("--channel", type=int, default=1,
+                   help="RGBT: master channel count")
     d = sub.add_parser("decode")
     d.add_argument("input")
-    d.add_argument("-o", "--output", default="out.png")
+    d.add_argument("-o", "--output", default="out.png",
+                   help="image path, or .yuv for video bitstreams")
     d.add_argument("--checkpoint", default=None)
+    d.add_argument("--guide", default=None,
+                   help="RGBT: guide-image path (the master file does not "
+                        "embed the guide bitstream; codec_rgbt.py:538-544)")
+    d.add_argument("--guided-checkpoint", default=None)
+    d.add_argument("--channel", type=int, default=1)
     return p.parse_args(argv)
 
 
-def _build(arch, quality, checkpoint=None):
-    codec = zoo.create_model(arch, quality)
+def _build(arch, quality, checkpoint=None, channel=3):
+    if arch == "ssf2020":
+        codec = zoo.create_video_model("ssf2020", quality)
+    else:
+        codec = zoo.create_model(arch, quality, channel=channel)
     if checkpoint:
         from lmic_tpu.utils.checkpoint import load_updated_model
 
@@ -219,18 +327,55 @@ def _build(arch, quality, checkpoint=None):
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
     if args.command == "encode":
-        codec = _build(args.arch, args.quality, args.checkpoint)
         t0 = time.perf_counter()
-        size = encode_image(args.input, args.output, codec, args.arch,
-                            args.quality)
+        if args.guide is not None or args.arch == "master":
+            if args.guide is None:
+                raise SystemExit("encode --arch master requires --guide")
+            guided = _build("guided", args.quality, args.guided_checkpoint,
+                            channel=4 - args.channel)
+            master = _build("master", args.quality, args.checkpoint,
+                            channel=args.channel)
+            size = encode_rgbt(args.input, args.guide, args.output,
+                               guided, master, args.quality,
+                               channel=args.channel)
+        elif args.arch == "ssf2020":
+            codec = _build("ssf2020", args.quality, args.checkpoint)
+            size = encode_video(args.input, args.output, codec,
+                                args.quality, num_frames=args.frames)
+        else:
+            codec = _build(args.arch, args.quality, args.checkpoint)
+            size = encode_image(args.input, args.output, codec, args.arch,
+                                args.quality)
         print(f"encoded {size} bytes in {time.perf_counter()-t0:.2f}s")
     else:
         t0 = time.perf_counter()
-        arch, q = decode_image(
-            args.input, args.output,
-            lambda a, q: _build(a, q, args.checkpoint),
-        )
-        print(f"decoded [{arch} q={q}] in {time.perf_counter()-t0:.2f}s")
+        with open(args.input, "rb") as f:
+            (magic,) = read_uints(f, 1)
+            assert magic == MAGIC, "invalid file"
+            model_id, mq = read_uchars(f, 2)
+            quality = (mq & 0x0F) + 1
+            arch = ID_TO_MODEL[model_id]
+            if arch == "ssf2020":
+                decode_video(
+                    f, args.output,
+                    lambda a, q: _build(a, q, args.checkpoint), quality,
+                )
+        if arch == "master":
+            if args.guide is None:
+                raise SystemExit("decoding a master file requires --guide")
+            guided = _build("guided", quality, args.guided_checkpoint,
+                            channel=4 - args.channel)
+            master = _build("master", quality, args.checkpoint,
+                            channel=args.channel)
+            decode_rgbt(args.input, args.guide, args.output, guided,
+                        master, channel=args.channel)
+        elif arch != "ssf2020":
+            decode_image(
+                args.input, args.output,
+                lambda a, q: _build(a, q, args.checkpoint),
+            )
+        print(f"decoded [{arch} q={quality}] in "
+              f"{time.perf_counter()-t0:.2f}s")
 
 
 if __name__ == "__main__":

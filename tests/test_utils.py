@@ -219,3 +219,92 @@ class TestMsSsimSmallImages:
             np.random.default_rng(0).random((1, 64, 64, 3)).astype(np.float32)
         )
         assert float(ms_ssim(a, a)) > 0.9999
+
+
+class TestVideoFileCodec:
+    def test_encode_decode_video_file(self, tmp_path):
+        """ssf2020 file coding roundtrip (codec_rgbt.py:389-450,557-598):
+        keyframe body then motion+residual bodies per inter frame; the
+        decoder writes raw YUV420 back."""
+        import os
+
+        from lmic_tpu.models.video import ScaleSpaceFlow, ScaleSpaceFlowCodec
+        from lmic_tpu.utils import codec_cli
+
+        H = W = 128
+        n = 2
+        rng = np.random.default_rng(1)
+        yuv = tmp_path / "clip_128x128_25_yuv420.yuv"
+        with open(yuv, "wb") as f:
+            for _ in range(n):
+                for plane in (H * W, H * W // 4, H * W // 4):
+                    f.write(
+                        (rng.random(plane) * 255).astype(np.uint8).tobytes()
+                    )
+
+        module = ScaleSpaceFlow()
+        v = module.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)},
+            jnp.zeros((1, 2, H, W, 3)),
+        )
+        codec = ScaleSpaceFlowCodec(module, v)
+        codec.update(force=True)
+
+        bin_path = str(tmp_path / "v.bin")
+        out_yuv = str(tmp_path / "rec.yuv")
+        size = codec_cli.encode_video(str(yuv), bin_path, codec, 1,
+                                      num_frames=n)
+        assert size > 8
+        with open(bin_path, "rb") as f:
+            (magic,) = codec_cli.read_uints(f, 1)
+            assert magic == codec_cli.MAGIC
+            model_id, mq = codec_cli.read_uchars(f, 2)
+            assert codec_cli.ID_TO_MODEL[model_id] == "ssf2020"
+            n_dec = codec_cli.decode_video(
+                f, out_yuv, lambda a, q: codec, (mq & 0x0F) + 1
+            )
+        assert n_dec == n
+        assert os.path.getsize(out_yuv) == n * H * W * 3 // 2
+
+
+class TestRGBTFileCodec:
+    def test_encode_decode_rgbt_file(self, tmp_path):
+        """Master/guided file coding roundtrip: beta/gamma side info in the
+        container, decoder re-codes the guide from its own source."""
+        from PIL import Image
+
+        from lmic_tpu import zoo
+        from lmic_tpu.utils import codec_cli
+
+        rng = np.random.default_rng(2)
+        master_path = str(tmp_path / "thermal.png")
+        guide_path = str(tmp_path / "rgb.png")
+        Image.fromarray(
+            (rng.random((64, 64)) * 255).astype(np.uint8), mode="L"
+        ).save(master_path)
+        Image.fromarray(
+            (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+        ).save(guide_path)
+
+        guided = zoo.create_model(
+            "guided", 1, key=jax.random.key(0), channel=3,
+            input_size=(128, 128),
+        )
+        master = zoo.create_model(
+            "master", 1, key=jax.random.key(1), channel=1,
+            input_size=(64, 64),
+        )
+        guided.update(force=True)
+        master.update(force=True)
+
+        bin_path = str(tmp_path / "m.bin")
+        out_path = str(tmp_path / "rec.png")
+        size = codec_cli.encode_rgbt(
+            master_path, guide_path, bin_path, guided, master, 1, channel=1
+        )
+        assert size > 8 + 2 * 64 * 4  # header + beta/gamma floats
+        codec_cli.decode_rgbt(
+            bin_path, guide_path, out_path, guided, master, channel=1
+        )
+        rec = np.asarray(Image.open(out_path))
+        assert rec.shape == (64, 64)
