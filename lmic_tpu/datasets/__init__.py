@@ -12,6 +12,48 @@ from lmic_tpu.datasets.rawvideo import (
 )
 from lmic_tpu.datasets.video import VideoFolder
 
+
+def prefetch(iterable, size: int = 2):
+    """Iterate `iterable` on a background thread with a bounded queue —
+    host-side batch preparation (PIL decode, crop, augment) overlaps the
+    accelerator step instead of serializing with it. The TPU-native
+    analogue of the reference's DataLoader(num_workers=...) (decode
+    releases the GIL in PIL/numpy)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    DONE = object()
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for item in iterable:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(DONE)
+        except BaseException as e:  # surface errors at the consumer
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()  # release the worker if the consumer stopped early
+
+
 __all__ = [
     "DataLoader",
     "ImageFolder",
@@ -22,4 +64,5 @@ __all__ = [
     "VideoFormat",
     "VideoFolder",
     "get_raw_video_file_info",
+    "prefetch",
 ]

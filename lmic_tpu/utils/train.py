@@ -96,6 +96,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     lmbda: float,
     matmul_precision: Optional[str] = None,
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted SPMD train step.
 
@@ -107,20 +108,27 @@ def make_train_step(
     in bf16 while keeping f32 parameters and likelihood math — the TPU
     analogue of the reference's AMP autocast (train.py:172-186; no loss
     scaling needed: bf16 keeps f32's exponent range).
+
+    remat=True rematerializes the forward pass in the backward
+    (jax.checkpoint): activations are recomputed instead of stored,
+    trading ~1/3 more FLOPs for the ability to fit larger batches or
+    crops in HBM. Gradients are numerically identical.
     """
+
+    def apply_train(params, batch, key):
+        return module.apply(
+            {"params": params}, batch, training=True, rngs={"noise": key}
+        )
+
+    if remat:
+        apply_train = jax.checkpoint(apply_train)
 
     def loss_fn(params, batch, key):
         if matmul_precision:
             with jax.default_matmul_precision(matmul_precision):
-                out = module.apply(
-                    {"params": params}, batch, training=True,
-                    rngs={"noise": key},
-                )
+                out = apply_train(params, batch, key)
         else:
-            out = module.apply(
-                {"params": params}, batch, training=True,
-                rngs={"noise": key},
-            )
+            out = apply_train(params, batch, key)
         rd = rate_distortion_loss(out, batch, lmbda)
         aux = module.apply(
             {"params": params}, method=type(module).aux_loss

@@ -251,3 +251,60 @@ class TestDeterminism:
         c = run(1)
         assert a == b
         assert a != c
+
+
+class TestRemat:
+    def test_remat_matches_baseline_step(self):
+        """jax.checkpoint recomputes activations in the backward; the
+        resulting update must match the stored-activation step."""
+        module, params = _tiny_model()
+        opt = make_optimizer()
+        base = make_train_step(module, opt, lmbda=1024)
+        remat = make_train_step(module, opt, lmbda=1024, remat=True)
+        batch = jax.random.uniform(jax.random.key(5), (2, 32, 32, 3))
+
+        s0 = create_train_state(params, opt)
+        s_base, m_base = base(s0, batch, jax.random.key(1))
+        s1 = create_train_state(params, opt)
+        s_remat, m_remat = remat(s1, batch, jax.random.key(1))
+
+        np.testing.assert_allclose(
+            float(m_base["loss"]), float(m_remat["loss"]), rtol=1e-6
+        )
+        for a, b in zip(jax.tree.leaves(s_base.params),
+                        jax.tree.leaves(s_remat.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+
+class TestPrefetch:
+    def test_prefetch_matches_sequential(self):
+        from lmic_tpu.datasets import prefetch
+
+        items = [np.full((2, 2), i) for i in range(7)]
+        out = list(prefetch(iter(items), size=2))
+        assert len(out) == 7
+        for a, b in zip(items, out):
+            np.testing.assert_array_equal(a, b)
+
+    def test_prefetch_early_break_does_not_hang(self):
+        from lmic_tpu.datasets import prefetch
+
+        gen = prefetch(iter(range(1000)), size=2)
+        got = [next(gen) for _ in range(3)]
+        gen.close()  # consumer stops early; worker must release
+        assert got == [0, 1, 2]
+
+    def test_prefetch_propagates_errors(self):
+        import pytest as _pytest
+
+        from lmic_tpu.datasets import prefetch
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        gen = prefetch(bad(), size=2)
+        assert next(gen) == 1
+        with _pytest.raises(ValueError, match="boom"):
+            next(gen)
