@@ -175,3 +175,35 @@ class TestMaster:
         )
         np.testing.assert_allclose(align_dec, guided_align, atol=1e-6)
         assert y_hat_dec.shape == y.shape
+
+
+class TestGuidedFanout:
+    def test_fanout_matches_single_device(self, guided_pair):
+        """GuidedCodec inherits the per-image AR fan-out (shard_codec
+        routes RGBT codecs through JointARCodec.fanout); streams, hidden
+        maps and reconstructions must be bit-equal to single-device."""
+        from lmic_tpu.parallel import make_mesh, shard_codec
+
+        codec, _ = guided_pair
+        xg = np.asarray(
+            jax.random.uniform(jax.random.key(7), (2, 64, 64, 1))
+        )
+        single = codec.compress(xg)
+        rec_single = codec.decompress(single["strings"], single["shape"])
+
+        fan = shard_codec(codec, make_mesh(2))
+        try:
+            fanned = fan.compress(xg)
+            assert fanned["strings"][0] == single["strings"][0]
+            assert fanned["strings"][1] == single["strings"][1]
+            rec_fan = fan.decompress(fanned["strings"], fanned["shape"])
+            np.testing.assert_array_equal(
+                np.asarray(rec_fan["x_hat"]), np.asarray(rec_single["x_hat"])
+            )
+            for k in rec_single["hidden"]:
+                np.testing.assert_array_equal(
+                    np.asarray(rec_fan["hidden"][k]),
+                    np.asarray(rec_single["hidden"][k]),
+                )
+        finally:
+            codec._fanout_devices = None
