@@ -26,20 +26,24 @@ def prefetch(iterable, size: int = 2):
     DONE = object()
     stop = threading.Event()
 
+    def put(item) -> bool:
+        """Stop-aware put; False when the consumer went away."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in iterable:
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put(item):
                     return
-            q.put(DONE)
+            put(DONE)
         except BaseException as e:  # surface errors at the consumer
-            q.put(e)
+            put(e)
 
     threading.Thread(target=worker, daemon=True).start()
     try:

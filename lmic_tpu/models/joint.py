@@ -278,16 +278,23 @@ class JointARCodec(CompressionCodec):
         return self
 
     def _fanout_map(self, n_items, fn):
-        """Run fn(i, device) for each item on a thread pool, one in-flight
-        item per device slot (jit dispatch + host coding release the GIL)."""
+        """Run fn(i, device) for each item, one worker thread PER DEVICE
+        (jit dispatch + host coding release the GIL). Items are strided
+        across device slots so a device never runs two scans concurrently
+        while another idles."""
         devs = self._fanout_devices
+        n = min(len(devs), n_items)
+        out = [None] * n_items
+
+        def slot(s):
+            for i in range(s, n_items, n):
+                out[i] = fn(i, devs[s])
+
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(devs)) as pool:
-            return list(
-                pool.map(lambda i: fn(i, devs[i % len(devs)]),
-                         range(n_items))
-            )
+        with ThreadPoolExecutor(max_workers=n) as pool:
+            list(pool.map(slot, range(n)))
+        return out
 
     # -- state -----------------------------------------------------------------
     def update(self, force: bool = False, scale_table=None):

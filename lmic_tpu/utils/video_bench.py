@@ -38,7 +38,7 @@ class VideoCodec:
         return "ffmpeg"
 
     def available(self) -> bool:
-        return shutil.which(self.binary()) is not None
+        return self.availability_error() is None
 
     def encode_cmd(self, in_path: str, seq: RawVideoSequence,
                    quality: int, out_path: str) -> List[str]:
@@ -58,11 +58,16 @@ class VideoCodec:
             "-pix_fmt", "yuv420p", out_yuv,
         ]
 
+    def availability_error(self):
+        """None when runnable, else a message naming the missing piece."""
+        if shutil.which(self.binary()) is None:
+            return f"{self.name}: '{self.binary()}' not found on PATH"
+        return None
+
     def run(self, seq_path: str, quality: int) -> Dict[str, float]:
-        if not self.available():
-            raise RuntimeError(
-                f"{self.name}: '{self.binary()}' not found on PATH"
-            )
+        err = self.availability_error()
+        if err:
+            raise RuntimeError(err)
         seq = RawVideoSequence.from_file(seq_path)
         with tempfile.TemporaryDirectory() as d:
             bitstream = os.path.join(d, f"out.{self.container()}")
@@ -124,15 +129,16 @@ class _RefVideoCodec(VideoCodec):
     def binary(self) -> str:
         return os.path.join(self.build_dir, self.encoder_app)
 
-    def available(self) -> bool:
-        return bool(
-            self.build_dir and self.config
-            and shutil.which(self.binary()) is not None
-            and shutil.which(
-                os.path.join(self.build_dir, self.decoder_app)
-            ) is not None
-            and os.path.isfile(self.config)
-        )
+    def availability_error(self):
+        if not self.build_dir or not self.config:
+            return f"{self.name}: --build-dir and --config are required"
+        for app in (self.encoder_app, self.decoder_app):
+            path = os.path.join(self.build_dir, app)
+            if shutil.which(path) is None:
+                return f"{self.name}: '{path}' not found or not executable"
+        if not os.path.isfile(self.config):
+            return f"{self.name}: config file '{self.config}' not found"
+        return None
 
     def encode_cmd(self, in_path, seq, quality, out_path):
         fps = float(seq.framerate) if seq.framerate else 30.0
@@ -166,7 +172,6 @@ class HMVideo(_RefVideoCodec):
     decoder_app = "TAppDecoderStatic"
 
 
-VIDEO_CODECS = {c.name: c for c in (X264(), X265())}
 VIDEO_CODEC_CLASSES = {"x264": X264, "x265": X265,
                        "vtm": VTMVideo, "hm": HMVideo}
 
@@ -244,6 +249,10 @@ def _make_codec(args) -> VideoCodec:
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
     codec = _make_codec(args)
+    err = codec.availability_error()
+    if err:
+        print(f"skipped: {err}", file=sys.stderr)
+        return 1
     files = sorted(
         f for f in os.listdir(args.dataset) if f.endswith(".yuv")
     )

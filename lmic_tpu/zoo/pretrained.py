@@ -429,10 +429,16 @@ def load_reference_checkpoint(arch: str, path: str, quality: int = 1,
 
     from lmic_tpu import zoo
 
-    codec = zoo.create_model(
-        arch, quality, key=jax.random.key(0), channel=channel,
-        input_size=input_size, **kwargs,
-    )
+    if arch == "ssf2020":
+        codec = zoo.create_video_model(
+            arch, quality, key=jax.random.key(0), input_size=input_size,
+            **kwargs,
+        )
+    else:
+        codec = zoo.create_model(
+            arch, quality, key=jax.random.key(0), channel=channel,
+            input_size=input_size, **kwargs,
+        )
     sd = load_torch_state_dict(path)
     variables = import_reference_state_dict(arch, sd, codec.variables)
     codec = type(codec)(codec.module, variables)

@@ -771,3 +771,31 @@ def test_quality_tables_match_reference():
                  "mbt2018-mean", "mbt2018", "cheng2020-anchor",
                  "cheng2020-attn"):
         assert dict(our_cfgs[arch]) == dict(ref_cfgs[arch]), arch
+
+
+def test_load_reference_checkpoint_ssf2020(tmp_path):
+    """zoo.urls.load_pretrained_model routes ssf2020 through
+    load_reference_checkpoint -> create_video_model; the resulting codec
+    must code a GOP end-to-end (no baked tables in a raw state_dict, so
+    update(force=True) runs)."""
+    import torch
+
+    from compressai.models.video.google import ScaleSpaceFlow as RefSSF
+
+    from lmic_tpu.zoo.pretrained import load_reference_checkpoint
+
+    torch.manual_seed(0)
+    ref = RefSSF()
+    path = str(tmp_path / "ssf.pth.tar")
+    torch.save(ref.state_dict(), path)
+
+    codec = load_reference_checkpoint(
+        "ssf2020", path, quality=1, input_size=(128, 128)
+    )
+    frames = np.asarray(
+        jax.random.uniform(jax.random.key(3), (1, 2, 128, 128, 3))
+    )
+    strings, shapes = codec.compress(frames)
+    rec = codec.decompress(strings, shapes)
+    assert rec.shape == frames.shape
+    assert np.all(np.isfinite(rec))
