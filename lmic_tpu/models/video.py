@@ -245,18 +245,25 @@ class _HyperpriorState:
 
     def __init__(self, codec, which: str):
         self.which = which
-        module, variables = codec.module, codec.variables
-        cls = type(module)
+        self.module, self.variables = codec.module, codec.variables
         eb = EntropyBottleneck(channels=192)  # Hyperprior.mid_planes
         self.eb_state = eb_update(
             eb,
             {
-                "params": variables["params"][f"{which}_hyperprior"][
+                "params": self.variables["params"][f"{which}_hyperprior"][
                     "entropy_bottleneck"
                 ]
             },
         )
         self.gc_state = GaussianConditional().update(get_scale_table())
+        self._rebuild()
+
+    def _rebuild(self):
+        """(Re)build the jitted passes capturing the CURRENT coding state —
+        call again after adopting tables from a reference checkpoint
+        (zoo.pretrained.import_reference_video_coding_state)."""
+        module, variables, which = self.module, self.variables, self.which
+        cls = type(module)
         self._encode_z = jax.jit(
             lambda y: module.apply(variables, y, which, method=cls.hp_encode_z)
         )

@@ -85,6 +85,25 @@ def update_model_file(in_path: str, out_dir: str, codec, name: str,
             "offset": codec.gc_state.table.offset,
             "scale_table": codec.gc_state.scale_table,
         }
+    if getattr(codec, "hp_states", None):
+        # ssf2020: one (EB, GC) pair per hyperprior sub-codec
+        blob["hp_states"] = {
+            which: {
+                "eb": {
+                    "cdf": hp.eb_state.table.cdf,
+                    "cdf_length": hp.eb_state.table.cdf_length,
+                    "offset": hp.eb_state.table.offset,
+                    "medians": hp.eb_state.medians,
+                },
+                "gc": {
+                    "cdf": hp.gc_state.table.cdf,
+                    "cdf_length": hp.gc_state.table.cdf_length,
+                    "offset": hp.gc_state.table.offset,
+                    "scale_table": hp.gc_state.scale_table,
+                },
+            }
+            for which, hp in codec.hp_states.items()
+        }
     data = pickle.dumps(blob)
     digest = hashlib.sha256(data).hexdigest()[:8]
     out_path = os.path.join(out_dir, f"{name}-{digest}.ckpt")
@@ -121,4 +140,19 @@ def load_updated_model(path: str, codec):
             scale_table=np.asarray(g["scale_table"]),
             gc=GaussianConditional(),
         )
+    if "hp_states" in blob:
+        codec.update(force=True)  # build sub-states, then adopt tables
+        for which, s in blob["hp_states"].items():
+            hp = codec.hp_states[which]
+            e, g = s["eb"], s["gc"]
+            hp.eb_state = EBState(
+                table=CdfTable(e["cdf"], e["cdf_length"], e["offset"]),
+                medians=np.asarray(e["medians"]),
+            )
+            hp.gc_state = GCState(
+                table=CdfTable(g["cdf"], g["cdf_length"], g["offset"]),
+                scale_table=np.asarray(g["scale_table"]),
+                gc=GaussianConditional(),
+            )
+            hp._rebuild()
     return codec

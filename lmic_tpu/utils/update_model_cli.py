@@ -45,15 +45,21 @@ def parse_args(argv):
 
 def run(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
-    codec = zoo.create_model(
-        args.arch, args.quality, channel=args.channel,
-        key=jax.random.key(0),
-    )
+    if args.arch == "ssf2020":
+        codec = zoo.create_video_model(
+            args.arch, args.quality, key=jax.random.key(0)
+        )
+    else:
+        codec = zoo.create_model(
+            args.arch, args.quality, channel=args.channel,
+            key=jax.random.key(0),
+        )
     baked = False
     if args.from_torch:
         from lmic_tpu.zoo.pretrained import (
             import_reference_coding_state,
             import_reference_state_dict,
+            import_reference_video_coding_state,
             load_torch_state_dict,
         )
 
@@ -64,7 +70,9 @@ def run(argv=None):
         codec = type(codec)(codec.module, {"params": params})
         # adopt the reference's baked CDF buffers when present — keeps
         # bitstreams byte-compatible with the original torch deployment
-        baked = import_reference_coding_state(sd, codec)
+        baked = (import_reference_video_coding_state(sd, codec)
+                 if args.arch == "ssf2020"
+                 else import_reference_coding_state(sd, codec))
     elif args.raw_params:
         params = ckpt.load_params(
             args.checkpoint, codec.variables["params"]

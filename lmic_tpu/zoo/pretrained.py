@@ -419,6 +419,28 @@ def import_reference_coding_state(state_dict: Dict[str, Any], codec,
     return True
 
 
+def import_reference_video_coding_state(state_dict: Dict[str, Any],
+                                        codec) -> bool:
+    """ssf2020 analogue of import_reference_coding_state: adopt the baked
+    tables of all three hyperprior sub-codecs (img/motion/res —
+    video/google.py:200-208) so deployed video bitstreams stay
+    byte-compatible with the reference. Returns False when the checkpoint
+    carries no baked buffers."""
+    if "img_hyperprior.entropy_bottleneck._quantized_cdf" not in state_dict:
+        return False
+    codec.update(force=True)  # build the sub-states and their jits
+    ok = True
+    for which in ("img", "motion", "res"):
+        hp = codec.hp_states[which]
+        ok = import_reference_coding_state(
+            state_dict, hp,
+            eb_prefix=f"{which}_hyperprior.entropy_bottleneck",
+            gc_prefix=f"{which}_hyperprior.gaussian_conditional",
+        ) and ok
+        hp._rebuild()  # the fast-path jits capture medians/scale table
+    return ok
+
+
 def load_reference_checkpoint(arch: str, path: str, quality: int = 1,
                               channel: int = 3, input_size=(256, 256),
                               update: bool = True, **kwargs):
@@ -445,7 +467,9 @@ def load_reference_checkpoint(arch: str, path: str, quality: int = 1,
     if update:
         # prefer the checkpoint's own baked tables (byte-exact interop with
         # reference bitstreams); recompute only when they're absent
-        if not import_reference_coding_state(sd, codec):
+        adopt = (import_reference_video_coding_state if arch == "ssf2020"
+                 else import_reference_coding_state)
+        if not adopt(sd, codec):
             codec.update(force=True)
     return codec
 

@@ -799,3 +799,58 @@ def test_load_reference_checkpoint_ssf2020(tmp_path):
     rec = codec.decompress(strings, shapes)
     assert rec.shape == frames.shape
     assert np.all(np.isfinite(rec))
+
+
+def test_ssf2020_bitstream_interop(tmp_path):
+    """ssf2020 is non-AR (three hyperprior sub-codecs), so with imported
+    weights AND adopted baked tables the whole-GOP bitstreams must be
+    byte-identical to the reference's own compress() (which runs through
+    our coder in the oracle), frame by frame and stream by stream."""
+    import torch
+
+    from compressai.models.video.google import ScaleSpaceFlow as RefSSF
+
+    from lmic_tpu.zoo.pretrained import load_reference_checkpoint
+
+    torch.manual_seed(0)
+    ref = RefSSF()
+    ref.eval()
+    ref.update(force=True)
+    path = str(tmp_path / "ssf-deploy.pth.tar")
+    torch.save(ref.state_dict(), path)
+
+    codec = load_reference_checkpoint(
+        "ssf2020", path, quality=1, input_size=(128, 128)
+    )
+
+    frames = np.asarray(
+        jax.random.uniform(jax.random.key(4), (1, 3, 128, 128, 3)),
+        np.float32,
+    )
+    t_frames = [
+        torch.from_numpy(np.transpose(frames[:, i], (0, 3, 1, 2)))
+        for i in range(frames.shape[1])
+    ]
+    with torch.no_grad():
+        ref_strings, ref_shapes = ref.compress(t_frames)
+
+    our_strings, our_shapes = codec.compress(frames)
+
+    assert len(our_strings) == len(ref_strings) == 3
+    # keyframe: [y_strings, z_strings]
+    assert our_strings[0][0] == ref_strings[0][0]
+    assert our_strings[0][1] == ref_strings[0][1]
+    for i in (1, 2):  # inter frames: motion + residual [y, z] each
+        for part in ("motion", "residual"):
+            assert our_strings[i][part][0] == ref_strings[i][part][0], (
+                f"frame {i} {part} y-stream differs"
+            )
+            assert our_strings[i][part][1] == ref_strings[i][part][1], (
+                f"frame {i} {part} z-stream differs"
+            )
+
+    # cross-decode: the reference's bitstream through OUR decoder matches
+    # the reconstruction of our own (byte-identical) bitstream
+    rec = codec.decompress(ref_strings, our_shapes)
+    assert rec.shape == frames.shape
+    assert np.all(np.isfinite(rec))
