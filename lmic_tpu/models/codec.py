@@ -482,10 +482,11 @@ class HyperpriorCodec(CompressionCodec):
         if not hasattr(self, "_analyze_u8"):
             self._build_u8_fns()
         if not self._decode_threaded():
-            out = self._decompress_u8(strings, shape, True)
+            out = self._decompress_u8(strings, shape, _async=True)
             return out if callable(out) else (lambda: out)
         fut = self._host_worker.submit(
-            self._decompress_u8, strings, shape, True
+            functools.partial(self._decompress_u8, strings, shape,
+                              _async=True)
         )
 
         def finalize():

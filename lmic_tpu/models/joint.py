@@ -265,16 +265,14 @@ class JointARCodec(CompressionCodec):
         device set (entropy parameters are recomputed on both codec sides
         and must round identically). Disabled when the AR scans are pinned
         to the CPU device (tunnel TPU fallback)."""
-        devices = list(devices)
+        from lmic_tpu.parallel import check_homogeneous
+
         if _ar_decode_device() is not None:
             raise ValueError(
                 "AR fan-out unavailable: scans are pinned to the CPU "
                 "device on this backend (LMIC_AR_DECODE)"
             )
-        kinds = {d.device_kind for d in devices}
-        if len(kinds) > 1:
-            raise ValueError(f"heterogeneous device set: {kinds}")
-        self._fanout_devices = devices
+        self._fanout_devices = check_homogeneous(devices)
         return self
 
     def _fanout_map(self, n_items, fn):

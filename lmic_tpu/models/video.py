@@ -477,11 +477,9 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         chain (inter-frame dependencies included) running on its own chip.
         Sequences are independent, so the result is bit-equal to the
         single-device path on a homogeneous device set."""
-        devices = list(devices)
-        kinds = {d.device_kind for d in devices}
-        if len(kinds) > 1:
-            raise ValueError(f"heterogeneous device set: {kinds}")
-        self._fanout_devices = devices
+        from lmic_tpu.parallel import check_homogeneous
+
+        self._fanout_devices = check_homogeneous(devices)
         return self
 
     def _chunk_map(self, B, fn):

@@ -20,6 +20,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def check_homogeneous(devices):
+    """Fan-out serving requires one device kind: entropy parameters are
+    recomputed on both codec sides and must round identically."""
+    kinds = {d.device_kind for d in devices}
+    if len(kinds) > 1:
+        raise ValueError(f"heterogeneous device set: {kinds}")
+    return list(devices)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D device mesh over all (or the first n) local devices."""
     devices = jax.devices()
