@@ -264,3 +264,28 @@ class TestHyperpriorAsync:
         rec_s = codec.decompress(out_s["strings"], out_s["shape"], u8=True)
         rec_a = codec.decompress_async(out_a["strings"], out_a["shape"])()
         np.testing.assert_array_equal(rec_s["x_hat"], rec_a["x_hat"])
+
+
+class TestThreadedDecode:
+    def test_threaded_decode_matches_inline(self, monkeypatch):
+        """LMIC_DECODE_THREAD=1 moves decompress_async's host half to the
+        codec's worker thread; outputs must match the inline path."""
+        import os
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_model(
+            "bmshj2018-hyperprior", 1, key=jax.random.key(0),
+            input_size=(64, 64), N=16, M=24,
+        )
+        codec.update(force=True)
+        x = (np.random.default_rng(3).random((2, 64, 64, 3)) * 255).astype(
+            np.uint8
+        )
+        out = codec.compress_async(x)()
+
+        monkeypatch.delenv("LMIC_DECODE_THREAD", raising=False)
+        inline = codec.decompress_async(out["strings"], out["shape"])()
+        monkeypatch.setenv("LMIC_DECODE_THREAD", "1")
+        threaded = codec.decompress_async(out["strings"], out["shape"])()
+        np.testing.assert_array_equal(inline["x_hat"], threaded["x_hat"])

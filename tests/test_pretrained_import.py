@@ -854,3 +854,17 @@ def test_ssf2020_bitstream_interop(tmp_path):
     rec = codec.decompress(ref_strings, our_shapes)
     assert rec.shape == frames.shape
     assert np.all(np.isfinite(rec))
+
+
+def test_fetch_pretrained_cache_hit(tmp_path, monkeypatch):
+    """A checkpoint already in $LMIC_PRETRAINED_DIR resolves without any
+    network access."""
+    from lmic_tpu.zoo import urls
+
+    monkeypatch.setenv("LMIC_PRETRAINED_DIR", str(tmp_path))
+    url = urls.pretrained_url("bmshj2018-factorized", 1)
+    fname = url.rsplit("/", 1)[1]
+    (tmp_path / fname).write_bytes(b"stub")
+    assert urls.fetch_pretrained("bmshj2018-factorized", 1) == str(
+        tmp_path / fname
+    )
