@@ -102,7 +102,7 @@ def bench_pipelined(arch, B=8, iters=12):
     return _median_mp_s(times, B * H * W / 1e6)
 
 
-def bench_ar(arch, B=2, iters=3):
+def bench_ar(arch, B=2, iters=5):
     """mbt2018/cheng2020-attn: wavefront-scan AR codec, synchronous
     compress+decompress per batch (the scans are the serial bottleneck)."""
     import jax
