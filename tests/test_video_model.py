@@ -133,3 +133,32 @@ class TestU8PixelPath:
             rec_u8,
             np.round(np.clip(rec_f32, 0.0, 1.0) * 255.0).astype(np.uint8),
         )
+
+
+class TestDeploymentCheckpoint:
+    def test_video_deployment_roundtrip(self, codec, tmp_path):
+        """update_model_file stores the three sub-codecs' coding tables
+        (hp_states blob); a reloaded codec must produce byte-identical
+        bitstreams."""
+        from lmic_tpu.utils.checkpoint import (
+            load_updated_model,
+            update_model_file,
+        )
+
+        codec.update()
+        out = update_model_file(
+            str(tmp_path / "in.ckpt"), str(tmp_path), codec, "ssf-test",
+            update=False,
+        )
+        fresh = ScaleSpaceFlowCodec(codec.module, codec.variables)
+        fresh = load_updated_model(out, fresh)
+
+        frames = np.asarray(
+            jax.random.uniform(jax.random.key(21), (1, 2, 128, 128, 3))
+        )
+        s_a, sh_a = codec.compress(frames)
+        s_b, sh_b = fresh.compress(frames)
+        assert s_a == s_b and sh_a == sh_b
+        np.testing.assert_array_equal(
+            codec.decompress(s_a, sh_a), fresh.decompress(s_b, sh_b)
+        )
