@@ -43,6 +43,12 @@ def _narrowest_int(sym: np.ndarray):
     return np.int16
 
 
+def _bitcast_u8(a):
+    """Device-side reinterpret of an int8 array as uint8 (same bytes) so
+    heterogeneous encode outputs concatenate into ONE transfer buffer."""
+    return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
+
+
 class CompressionCodec:
     """Base wrapper: module + variables + coding state."""
 
@@ -127,7 +133,7 @@ class FactorizedPriorCodec(CompressionCodec):
             eb, {"params": self.variables["params"]["entropy_bottleneck"]}
         )
         # the u8 fast-path jits capture medians from the previous state
-        for name in ("_enc_u8", "_enc_u8_i8", "_dec_u8"):
+        for name in ("_enc_u8", "_enc_u8_i8", "_enc_u8_packed", "_dec_u8"):
             if hasattr(self, name):
                 delattr(self, name)
         return True
@@ -151,6 +157,16 @@ class FactorizedPriorCodec(CompressionCodec):
                 overflow.astype(jnp.int32),
             )
 
+        def enc_packed(x_u8):
+            # single-fetch layout: [1B overflow flag | int8 symbols].
+            # The tunnel-attached TPU pays a ~25 ms fixed cost per
+            # device->host transfer, so the flag and the symbols must come
+            # back in ONE buffer (measured: 3 separate fetches cost ~70 ms
+            # more than one combined fetch at equal bytes).
+            sym8, overflow = enc8(x_u8)
+            flag = (overflow > 0).astype(jnp.uint8).reshape(1)
+            return jnp.concatenate([flag, _bitcast_u8(sym8)])
+
         def enc16(x_u8):
             x = x_u8.astype(jnp.float32) / 255.0
             y = module.apply(variables, x, method=cls.g_a)
@@ -167,16 +183,34 @@ class FactorizedPriorCodec(CompressionCodec):
             return jnp.round(x * 255.0).astype(jnp.uint8)
 
         self._enc_u8_i8 = jax.jit(enc8)
+        self._enc_u8_packed = jax.jit(enc_packed)
         self._enc_u8 = jax.jit(enc16)
         self._dec_u8 = jax.jit(dec)       # int8 and int16 callers share it
 
-    def _fetch_symbols(self, x_dev, pending8):
-        """Resolve the int8-or-int16 encode: use the int8 symbols when no
-        value overflowed, else rerun the int16 pass (rare)."""
-        sym8, overflow = pending8
-        if int(overflow) == 0:
-            return np.asarray(sym8, dtype=np.int32)
-        return np.asarray(self._enc_u8(x_dev), dtype=np.int32)
+    def _latent_shape(self, B, H, W):
+        return (B, self.module.M, H // 16, W // 16)
+
+    def _fetch_symbols(self, x_dev, packed):
+        """ONE device->host fetch resolves flag + symbols; on the rare int8
+        overflow rerun the int16 pass."""
+        buf = np.asarray(packed)  # single transfer: [flag | int8 symbols]
+        if buf[0] == 0:
+            B, H, W = x_dev.shape[:3]
+            return buf[1:].view(np.int8).reshape(self._latent_shape(B, H, W))
+        return np.asarray(self._enc_u8(x_dev))  # pragma: no cover - rare
+
+    def _code_symbols(self, sym):
+        B, C = sym.shape[:2]
+        indexes = np.broadcast_to(
+            np.arange(C, dtype=np.int32)[:, None],
+            (C, sym.shape[2] * sym.shape[3]),
+        )
+        from lmic_tpu.entropy import coder as _rans
+
+        y_strings = _rans.encode_batch(
+            sym.reshape(B, -1), indexes.reshape(-1), self.eb_state.table
+        )
+        return {"strings": [y_strings], "shape": sym.shape[2:4]}
 
     def compress_async(self, x):
         """Dispatch the device half of compress and return a finalizer.
@@ -192,23 +226,9 @@ class FactorizedPriorCodec(CompressionCodec):
         if not hasattr(self, "_enc_u8"):
             self._build_u8_fns()
         x_dev = jnp.asarray(x)
-        pending8 = self._enc_u8_i8(x_dev)  # async dispatch
+        packed = self._enc_u8_packed(x_dev)  # async dispatch
 
-        def finalize():
-            sym = self._fetch_symbols(x_dev, pending8)
-            B, C = sym.shape[:2]
-            indexes = np.broadcast_to(
-                np.arange(C, dtype=np.int32)[:, None],
-                (C, sym.shape[2] * sym.shape[3]),
-            )
-            from lmic_tpu.entropy import coder as _rans
-
-            y_strings = _rans.encode_batch(
-                sym.reshape(B, -1), indexes.reshape(-1), self.eb_state.table
-            )
-            return {"strings": [y_strings], "shape": sym.shape[2:4]}
-
-        return finalize
+        return lambda: self._code_symbols(self._fetch_symbols(x_dev, packed))
 
     def compress(self, x):
         """x: (B, H, W, C) float in [0,1] or uint8 (fast path)."""
@@ -218,18 +238,8 @@ class FactorizedPriorCodec(CompressionCodec):
             if not hasattr(self, "_enc_u8"):
                 self._build_u8_fns()
             x_dev = jnp.asarray(x)
-            sym = self._fetch_symbols(x_dev, self._enc_u8_i8(x_dev))
-            B, C = sym.shape[:2]
-            indexes = np.broadcast_to(
-                np.arange(C, dtype=np.int32)[:, None],
-                (C, sym.shape[2] * sym.shape[3]),
-            )
-            from lmic_tpu.entropy import coder as _rans
-
-            y_strings = _rans.encode_batch(
-                sym.reshape(B, -1), indexes.reshape(-1), self.eb_state.table
-            )
-            return {"strings": [y_strings], "shape": sym.shape[2:4]}
+            sym = self._fetch_symbols(x_dev, self._enc_u8_packed(x_dev))
+            return self._code_symbols(sym)
         y = np.asarray(self._g_a(jnp.asarray(x)))
         y_strings = self.eb_state.compress(y)
         return {"strings": [y_strings], "shape": y.shape[1:3]}
@@ -363,10 +373,27 @@ class HyperpriorCodec(CompressionCodec):
             )
             return jnp.round(x * 255.0).astype(jnp.uint8)
 
+        def pack_enc(z8, idx_u8, y8, zovf, yovf):
+            # single-fetch layout: [zflag, yflag | z8 | idx | y8]. The
+            # tunnel TPU pays ~25 ms fixed per device->host transfer; the
+            # whole encode result must come back in ONE buffer. Bytes are
+            # bit-identical to the separate arrays, so the coded stream is
+            # unchanged.
+            flags = jnp.stack(
+                [(zovf > 0), (yovf > 0)]
+            ).astype(jnp.uint8)
+            return jnp.concatenate([
+                flags,
+                _bitcast_u8(z8),
+                idx_u8.reshape(-1),
+                _bitcast_u8(y8),
+            ])
+
         self._analyze_u8 = jax.jit(analyze_u8)
         self._params_from_zsym = jax.jit(params_from_zsym)
         self._ysym = jax.jit(ysym)
         self._synth_u8 = jax.jit(synth_u8)
+        self._pack_enc = jax.jit(pack_enc)
 
     def update(self, force: bool = False, scale_table=None):
         if self.eb_state is not None and self.gc_state is not None and not force:
@@ -382,7 +409,7 @@ class HyperpriorCodec(CompressionCodec):
         self.gc_state = GaussianConditional().update(scale_table)
         # the u8 fast-path jits capture medians/scale table
         for name in ("_analyze_u8", "_params_from_zsym", "_ysym",
-                     "_synth_u8"):
+                     "_synth_u8", "_pack_enc"):
             if hasattr(self, name):
                 delattr(self, name)
         return True
@@ -423,55 +450,62 @@ class HyperpriorCodec(CompressionCodec):
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
     def compress_async(self, x):
-        """Dispatch the device half of compress (uint8 fast path) and
-        return a finalizer running the host entropy coding — the next
-        batch's device pass overlaps this batch's coding."""
+        """Dispatch the WHOLE device half of compress (uint8 fast path) —
+        analyze, shared params graph, y symbols, and the single-transfer
+        pack — and return a finalizer that fetches one buffer and runs the
+        host entropy coding. The next batch's device pass overlaps this
+        batch's coding."""
         self._check_updated()
         x = np.asarray(x)
         assert x.dtype == np.uint8, "compress_async: uint8 fast path only"
         if not hasattr(self, "_analyze_u8"):
             self._build_u8_fns()
         x_dev = jnp.asarray(x)
-        pending = self._analyze_u8(x_dev)  # async dispatch
-        # the z->params->y-symbol chain is dispatched in finalize (it
-        # depends on the overflow check, which must block anyway)
+        y_dev, z8, zovf = self._analyze_u8(x_dev)          # async
+        idx_dev, means_dev = self._params_from_zsym(z8)    # async, shared
+        y8, y16, yovf = self._ysym(y_dev, means_dev)       # async
+        packed = self._pack_enc(z8, idx_dev, y8, zovf, yovf)  # async
+        pending = (packed, y16)
         return lambda: self._finish_compress_u8(x, pending)
 
+    def _latent_shapes(self, B, H, W):
+        m = self.module
+        return (B, m.N, H // 64, W // 64), (B, m.M, H // 16, W // 16)
+
     def _finish_compress_u8(self, x: np.ndarray, pending):
-        y_dev, z8, zovf = pending
-        # dispatch the params/symbol passes BEFORE blocking on the overflow
-        # flag: they only depend on device values, and the zovf fetch then
-        # overlaps their compute (on overflow the results are discarded)
-        idx_dev, means_dev = self._params_from_zsym(z8)   # async
-        y_pend = self._ysym(y_dev, means_dev)             # async
-        if int(zovf) != 0:  # pragma: no cover - extreme hyper latents
+        packed, y16 = pending
+        buf = np.asarray(packed)  # ONE device->host transfer
+        if buf[0]:  # pragma: no cover - extreme hyper latents
             return self.compress(x.astype(np.float32) / 255.0)
-        z_sym = np.asarray(z8, dtype=np.int32)
-        B, Cz = z_sym.shape[:2]
+        zshape, yshape = self._latent_shapes(*x.shape[:3])
+        zn, yn = int(np.prod(zshape)), int(np.prod(yshape))
+        assert buf.size == 2 + zn + 2 * yn, (
+            "packed encode layout mismatch (input must be padded to x64)"
+        )
+        z_sym = buf[2:2 + zn].view(np.int8).reshape(zshape)
+        idx = buf[2 + zn:2 + zn + yn].reshape(yshape)
+        if buf[1]:  # pragma: no cover - rare int8 y overflow
+            ysym = np.asarray(y16)
+        else:
+            ysym = buf[2 + zn + yn:2 + zn + 2 * yn].view(np.int8).reshape(
+                yshape
+            )
+        B, Cz = zshape[:2]
         ch_idx = np.broadcast_to(
             np.arange(Cz, dtype=np.int32)[:, None],
-            (Cz, z_sym.shape[2] * z_sym.shape[3]),
+            (Cz, zshape[2] * zshape[3]),
         )
         z_strings = rans.encode_batch(
             z_sym.reshape(B, -1), ch_idx.reshape(-1), self.eb_state.table
         )
-        y8, y16, yovf = y_pend
-        ysym = np.asarray(
-            y8 if int(yovf) == 0 else y16, dtype=np.int32
-        )
-        idx = np.asarray(idx_dev, dtype=np.int32)
         y_strings = rans.encode_batch(
             ysym.reshape(B, -1), idx.reshape(B, -1), self.gc_state.table
         )
         return {"strings": [y_strings, z_strings],
-                "shape": z_sym.shape[2:4]}
+                "shape": zshape[2:4]}
 
     def _compress_u8(self, x: np.ndarray):
-        if not hasattr(self, "_analyze_u8"):
-            self._build_u8_fns()
-        x_dev = jnp.asarray(x)
-        pending = self._analyze_u8(x_dev)
-        return self._finish_compress_u8(x, pending)
+        return self.compress_async(x)()
 
     def decompress_async(self, strings, shape):
         """Decode on the worker thread (see _host_worker); the finalizer

@@ -151,11 +151,13 @@ class TestInt8SymbolFallback:
         codec.update(force=True)
         codec._build_u8_fns()
         x_dev = jnp.zeros((1, 64, 64, 3), jnp.uint8)
-        # fabricate an int8 result that wrapped around, with overflow flagged
-        wrapped = jnp.full((1, codec.module.M, 4, 4), -1, jnp.int8)
-        sym = codec._fetch_symbols(x_dev, (wrapped, jnp.int32(3)))
+        # fabricate a packed buffer with the overflow flag set and wrapped
+        # int8 symbols in the payload
+        wrapped = np.full(codec.module.M * 4 * 4, 255, np.uint8)
+        packed = jnp.asarray(np.concatenate([[1], wrapped]).astype(np.uint8))
+        sym = codec._fetch_symbols(x_dev, packed)
         # fallback must have rerun the int16 pass on x_dev, ignoring `wrapped`
-        true16 = np.asarray(codec._enc_u8(x_dev), dtype=np.int32)
+        true16 = np.asarray(codec._enc_u8(x_dev))
         np.testing.assert_array_equal(sym, true16)
 
     def test_no_overflow_uses_int8(self):
@@ -175,8 +177,9 @@ class TestInt8SymbolFallback:
         x_dev = jnp.asarray(x)
         sym8, ovf = codec._enc_u8_i8(x_dev)
         assert int(ovf) == 0
-        got = codec._fetch_symbols(x_dev, (sym8, ovf))
-        true16 = np.asarray(codec._enc_u8(x_dev), dtype=np.int32)
+        got = codec._fetch_symbols(x_dev, codec._enc_u8_packed(x_dev))
+        assert got.dtype == np.int8  # no-overflow path stays on the wire dtype
+        true16 = np.asarray(codec._enc_u8(x_dev))
         np.testing.assert_array_equal(got, true16)
 
 
