@@ -316,6 +316,53 @@ class _HyperpriorState:
         self._params_from_zsym = jax.jit(params_from_zsym)
         self._ysym = jax.jit(ysym)
         self._yhat = jax.jit(yhat)
+        # encoder-side in-loop reconstruction from FLOAT symbols:
+        # round(y-means)+means is value-identical to the decoder's
+        # int8/int16 wire dtype -> f32 -> +means (symbols are exact in
+        # f32), so the GOP chain never waits on a host overflow check
+        self._yhat_f32 = jax.jit(lambda y, means: jnp.round(y - means) + means)
+
+    def compress_device(self, y):
+        """Enqueue the device half of compress with ZERO host syncs.
+
+        Returns (y_hat ON DEVICE, part) where part carries the device refs
+        (z8, idx, y8, y16, zovf, yovf) for a later batched fetch — the GOP
+        chain continues from y_hat immediately while symbols drain to the
+        host in one packed transfer (ScaleSpaceFlowCodec._compress_chunk).
+        """
+        y = jnp.asarray(y)
+        z8, zovf = self._zsym(y)
+        idx, means = self._params_from_zsym(z8)
+        y8, y16, yovf = self._ysym(y, means)
+        y_hat = self._yhat_f32(y, means)
+        return y_hat, (z8, idx, y8, y16, zovf, yovf)
+
+    def code_part(self, z_sym, idx, ysym):
+        """Host rANS for one (z, y) stream pair of already-fetched symbols."""
+        B, Cz = z_sym.shape[:2]
+        ch_idx = np.broadcast_to(
+            np.arange(Cz, dtype=np.int32)[:, None],
+            (Cz, z_sym.shape[2] * z_sym.shape[3]),
+        )
+        z_strings = rans.encode_batch(
+            z_sym.reshape(B, -1), ch_idx.reshape(-1), self.eb_state.table
+        )
+        y_strings = rans.encode_batch(
+            ysym.reshape(B, -1), idx.reshape(B, -1), self.gc_state.table
+        )
+        return {
+            "strings": [y_strings, z_strings],
+            "shape": tuple(z_sym.shape[2:4]),
+        }
+
+    def decode_z(self, z_strings, shape):
+        """Host rANS decode of the (independent) z stream -> int32 symbols."""
+        C = len(self.eb_state.medians)
+        H, W = shape
+        ch_idx = np.repeat(np.arange(C, dtype=np.int32), H * W)
+        return rans.decode_batch(
+            z_strings, ch_idx, self.eb_state.table
+        ).reshape(len(z_strings), C, H, W)
 
     def compress(self, y):
         """y: device (or host) float array. Returns (y_hat ON DEVICE,
@@ -471,6 +518,28 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             ).astype(jnp.uint8)
         )
 
+        from lmic_tpu.models.codec import _bitcast_u8
+
+        def pack_gop(parts):
+            # one transfer buffer for a whole GOP's coding payload:
+            # [2 flag bytes per part | per part: z8 | idx | y8]. The tunnel
+            # TPU pays ~25 ms fixed per transfer; the old per-sub-codec
+            # fetches cost ~20 syncs per 3-frame GOP.
+            flags = jnp.stack(
+                [f for (z8, idx, y8, zovf, yovf) in parts
+                 for f in ((zovf > 0), (yovf > 0))]
+            ).astype(jnp.uint8)
+            bufs = [flags]
+            for z8, idx, y8, _, _ in parts:
+                bufs += [_bitcast_u8(z8), idx.reshape(-1), _bitcast_u8(y8)]
+            return jnp.concatenate(bufs)
+
+        # retraces once per GOP structure (part count); cached thereafter
+        self._pack_gop = jax.jit(pack_gop)
+        self._cat_u8 = jax.jit(
+            lambda xs: jnp.concatenate([x.reshape(-1) for x in xs])
+        )
+
     def fanout(self, devices):
         """Serve multi-sequence batches across `devices`: the batch axis is
         split into contiguous per-device chunks, each chunk's whole GOP
@@ -585,6 +654,72 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         return self._compress_chunk(frames)
 
     def _compress_chunk(self, frames):
+        """Whole-GOP encode with ONE device->host sync.
+
+        The full device chain — transforms, entropy params, symbol
+        extraction, in-loop reconstruction — is enqueued without waiting
+        on the host coder (y_hat derives from float symbols on device),
+        then one packed fetch crosses the link and the host rANS-codes
+        every stream. Replaces ~20 syncs per 3-frame GOP with 1."""
+        sts = self.hp_states
+        parts, labels = [], []
+        y = self._img_encode(frames[:, 0])
+        y_hat, part = sts["img"].compress_device(y)
+        x_ref = self._img_decode(y_hat)
+        parts.append(part)
+        labels.append("img")
+        for i in range(1, frames.shape[1]):
+            x_cur = frames[:, i]
+            y_motion = self._motion_encode(x_cur, x_ref)
+            y_motion_hat, pm = sts["motion"].compress_device(y_motion)
+            x_pred = self._motion_decode_predict(y_motion_hat, x_ref)
+            y_res = self._res_encode(x_cur - x_pred)
+            y_res_hat, pr = sts["res"].compress_device(y_res)
+            x_ref = x_pred + self._res_decode(y_res_hat, y_motion_hat)
+            parts.append(pm)
+            labels.append("motion")
+            parts.append(pr)
+            labels.append("res")
+        packed = self._pack_gop(
+            [(z8, idx, y8, zovf, yovf)
+             for z8, idx, y8, _, zovf, yovf in parts]
+        )
+        buf = np.asarray(packed)  # the GOP's single device->host fetch
+        n = len(parts)
+        flags = buf[:2 * n]
+        if flags[0::2].any():  # pragma: no cover - extreme hyper latents
+            return self._compress_chunk_sync(frames)
+        outs = []
+        off = 2 * n
+        for k, (label, p) in enumerate(zip(labels, parts)):
+            z8, idx_dev, y8 = p[0], p[1], p[2]
+            zn, yn = z8.size, y8.size
+            z_sym = buf[off:off + zn].view(np.int8).reshape(z8.shape)
+            off += zn
+            idx = buf[off:off + yn].reshape(y8.shape)
+            off += yn
+            if flags[2 * k + 1]:  # pragma: no cover - rare int8 y overflow
+                ysym = np.asarray(p[3])
+            else:
+                ysym = buf[off:off + yn].view(np.int8).reshape(y8.shape)
+            off += yn
+            outs.append(sts[label].code_part(z_sym, idx, ysym))
+        frame_strings = [outs[0]["strings"]]
+        shape_infos = [outs[0]["shape"]]
+        k = 1
+        for i in range(1, frames.shape[1]):
+            om, orr = outs[k], outs[k + 1]
+            k += 2
+            frame_strings.append(
+                {"motion": om["strings"], "residual": orr["strings"]}
+            )
+            shape_infos.append(
+                {"motion": om["shape"], "residual": orr["shape"]}
+            )
+        return frame_strings, shape_infos
+
+    def _compress_chunk_sync(self, frames):
+        """Reference-shaped per-frame loop (fallback for symbol overflow)."""
         frame_strings, shape_infos = [], []
         x_ref, out = self.encode_keyframe(frames[:, 0])
         frame_strings.append(out["strings"])
@@ -613,12 +748,83 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         return self._decompress_chunk(strings, shapes, u8=u8)
 
     def _decompress_chunk(self, strings, shapes, u8: bool = False):
+        """Whole-GOP decode with TWO device->host syncs.
+
+        The z streams are mutually independent, so phase 1 host-decodes
+        them all, uploads one stacked int8 buffer, and fetches all scale
+        indexes in one transfer; phase 2 host-decodes every y stream,
+        uploads one stacked symbol buffer, and the frame chain runs on
+        device to one stacked pixel fetch. Scale indexes still come from
+        each sub-codec's `_params_from_zsym` — the same compiled graph the
+        encoder used, so index bucketing is bit-identical."""
+        sts = self.hp_states
+        labels = ["img"]
+        specs = [(strings[0], shapes[0])]
+        for i in range(1, len(strings)):
+            labels += ["motion", "res"]
+            specs += [
+                (strings[i]["motion"], shapes[i]["motion"]),
+                (strings[i]["residual"], shapes[i]["residual"]),
+            ]
+        z_syms = [
+            sts[label].decode_z(s[1], shp)
+            for label, (s, shp) in zip(labels, specs)
+        ]
+        if any(
+            zs.size and (zs.min() < -128 or zs.max() > 127) for zs in z_syms
+        ):  # pragma: no cover - mirrors the encode fallback
+            return self._decompress_chunk_sync(strings, shapes, u8=u8)
+        # all sub-codec z tensors share one shape: ONE stacked upload
+        z_all = jnp.asarray(np.stack([zs.astype(np.int8) for zs in z_syms]))
+        pm = [
+            sts[label]._params_from_zsym(z_all[k])
+            for k, label in enumerate(labels)
+        ]
+        idx_buf = np.asarray(self._cat_u8([idx for idx, _ in pm]))  # 1 sync
+        y_syms = []
+        off = 0
+        for k, (label, (s, _)) in enumerate(zip(labels, specs)):
+            ishape = pm[k][0].shape
+            idx_k = idx_buf[off:off + pm[k][0].size].reshape(ishape)
+            off += pm[k][0].size
+            B = ishape[0]
+            y_syms.append(
+                rans.decode_batch(
+                    s[0], idx_k.reshape(B, -1), sts[label].gc_state.table
+                ).reshape(ishape)
+            )
+        fits8 = all(
+            ys.size == 0 or (ys.min() >= -128 and ys.max() <= 127)
+            for ys in y_syms
+        )
+        dt = np.int8 if fits8 else np.int16
+        y_all = jnp.asarray(np.stack([ys.astype(dt) for ys in y_syms]))
+        y_hats = [
+            sts[label]._yhat(y_all[k], pm[k][1])
+            for k, label in enumerate(labels)
+        ]
+        x_ref = self._img_decode(y_hats[0])
+        frames = [x_ref]
+        k = 1
+        for i in range(1, len(strings)):
+            y_motion_hat, y_res_hat = y_hats[k], y_hats[k + 1]
+            k += 2
+            x_pred = self._motion_decode_predict(y_motion_hat, x_ref)
+            x_ref = x_pred + self._res_decode(y_res_hat, y_motion_hat)
+            frames.append(x_ref)
+        # one stacked transfer instead of one per frame
+        stacked = jnp.stack(frames, axis=1)
+        if u8:
+            stacked = self._egress_u8(stacked)
+        return np.asarray(stacked)
+
+    def _decompress_chunk_sync(self, strings, shapes, u8: bool = False):
+        """Reference-shaped per-frame loop (fallback for symbol overflow)."""
         x_ref = self.decode_keyframe(strings[0], shapes[0])
         frames = [x_ref]
         for i in range(1, len(strings)):
             x_ref = self.decode_inter(x_ref, strings[i], shapes[i])
             frames.append(x_ref)
-        # one stacked transfer instead of one per frame
         stacked = jnp.stack(frames, axis=1)
         if u8:
             stacked = self._egress_u8(stacked)
