@@ -6,6 +6,12 @@ megapixels/second. Prints one JSON line per config as it completes, then a
 final headline line with the geometric-mean speedup (the driver parses the
 LAST JSON line).
 
+Every config line carries a per-stage breakdown (`stages_ms`, measured on
+one synchronous roundtrip after warmup: device+fetch legs vs host-rANS
+legs) plus the link-probe context, so an off number is attributable at a
+glance. A final `train_step` line reports step time and an MFU estimate
+for the SPMD train step (outside the geomean).
+
 Baselines (enc+dec MP/s, q1, 0.393 MP Kodak image) come from the reference's
 own published CPU timings in
 /root/reference/CompressAI/results/kodak/compressai-*_mse_cpu.json
@@ -17,6 +23,7 @@ this host reproduces the published factorized numbers to within 5%
 """
 
 import json
+import os
 import sys
 import time
 
@@ -33,12 +40,15 @@ BASELINES = {
 
 H, W = 768, 512  # Kodak geometry
 
+# TPU v5e peak bf16 matmul throughput (public spec); override for other
+# chips with LMIC_TPU_PEAK_FLOPS
+PEAK_FLOPS = float(os.environ.get("LMIC_TPU_PEAK_FLOPS", 197e12))
+
 
 def _probe_tpu(timeout_s: float = 150.0) -> bool:
     """The tunnel-attached TPU can wedge: device ops then HANG rather than
     error, which would turn the benchmark into a timeout with no number.
     Probe device init in a subprocess with a hard timeout first."""
-    import os
     import subprocess
 
     if os.environ.get("LMIC_PLATFORM"):
@@ -57,11 +67,20 @@ def _median_mp_s(times, megapixels):
     return megapixels / float(np.median(times))
 
 
+def _gdn_backend() -> str:
+    from lmic_tpu.ops.pallas_gdn import _use_pallas
+
+    return {"": "xla", "compile": "pallas", "interpret": "pallas-interpret"}[
+        _use_pallas()
+    ]
+
+
 def bench_pipelined(arch, B=8, iters=12):
     """factorized/hyperprior: steady-state async pipeline — the NEXT batch's
-    device encode (and its device->host symbol transfer) is dispatched
-    before this batch's host entropy coding runs, so link+device time
-    overlaps host rANS time."""
+    whole device encode (analyze, entropy params, symbols, single packed
+    fetch) is dispatched before this batch's host entropy coding runs, so
+    link+device time overlaps host rANS time. B=8 measured best on the
+    tunnel (bigger bursts hit its erratic transfer tail)."""
     import jax
 
     from lmic_tpu import zoo
@@ -78,6 +97,14 @@ def bench_pipelined(arch, B=8, iters=12):
     out = codec.compress(x)  # warmup/compile
     rec = codec.decompress(out["strings"], out["shape"], u8=True)
     assert rec["x_hat"].shape == x.shape
+    # one timed synchronous roundtrip for per-stage attribution
+    codec.stats.clear()
+    out = codec.compress(x)
+    rec = codec.decompress(out["strings"], out["shape"], u8=True)
+    stages = dict(codec.stats)
+    stream_mb = sum(
+        len(s) for part in out["strings"] for s in part
+    ) / 1e6
 
     times = []
     t_prev = time.perf_counter()
@@ -99,15 +126,24 @@ def bench_pipelined(arch, B=8, iters=12):
         fin_enc = next_enc
     rec = prev_dec()["x_hat"]
     assert rec.shape == x.shape
-    return _median_mp_s(times, B * H * W / 1e6)
+    extra = {
+        "batch": B,
+        "stages_ms": stages,
+        "stream_mb_per_batch": round(stream_mb, 2),
+        "gdn_backend": _gdn_backend(),
+    }
+    return _median_mp_s(times, B * H * W / 1e6), extra
 
 
-def bench_ar(arch, B=2, iters=5):
+def bench_ar(arch, B=4, iters=9):
     """mbt2018/cheng2020-attn: wavefront-scan AR codec, synchronous
-    compress+decompress per batch (the scans are the serial bottleneck)."""
+    compress+decompress per batch (the scans are the serial bottleneck).
+    B=4/9 iters: the scan's run-to-run swing is the dominant noise, so the
+    sample is sized for a median stable within ~10%."""
     import jax
 
     from lmic_tpu import zoo
+    from lmic_tpu.models.joint import _ar_decode_device
 
     codec = zoo.create_model(
         arch, quality=1, key=jax.random.key(0), input_size=(H, W)
@@ -127,10 +163,21 @@ def bench_ar(arch, B=2, iters=5):
         rec = codec.decompress(out["strings"], out["shape"])
         assert rec["x_hat"].shape == x.shape
         times.append(time.perf_counter() - t0)
-    return _median_mp_s(times, B * H * W / 1e6)
+    on_cpu = _ar_decode_device() is not None
+    extra = {
+        "batch": B,
+        "stages_ms": dict(codec.stats),  # from the last roundtrip
+        "ar_decode_device": "cpu" if on_cpu else "default",
+        # fanout() refuses when scans are pinned to the CPU device
+        # (io_callback hangs on the tunnel TPU), so multi-device AR
+        # serving is untestable on this bench hardware when true
+        "ar_fanout_available": not on_cpu,
+        "gdn_backend": _gdn_backend(),
+    }
+    return _median_mp_s(times, B * H * W / 1e6), extra
 
 
-def bench_video(T=3, iters=4):
+def bench_video(T=3, iters=6):
     """ssf2020: 3-frame GOP (I + 2 P), full compress+decompress. uint8
     pixels both ways (the production representation; 4x thinner on the
     host-device link than f32)."""
@@ -156,7 +203,66 @@ def bench_video(T=3, iters=4):
         rec = codec.decompress(strings, shapes, u8=True)
         assert rec.shape == frames.shape
         times.append(time.perf_counter() - t0)
-    return _median_mp_s(times, T * H * W / 1e6)
+    extra = {
+        "gop": T,
+        "stages_ms": dict(codec.stats),
+        "gdn_backend": _gdn_backend(),
+    }
+    return _median_mp_s(times, T * H * W / 1e6), extra
+
+
+def bench_train_step(B=8, size=256, iters=10):
+    """SPMD train-step line: step time, images/s, and an MFU estimate from
+    XLA's own flop count vs chip peak (LMIC_TPU_PEAK_FLOPS; defaults to
+    TPU v5e bf16 peak). Not part of the codec geomean."""
+    import jax
+
+    from lmic_tpu import zoo
+    from lmic_tpu.utils.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    codec = zoo.create_model(
+        "bmshj2018-hyperprior", quality=1, key=jax.random.key(0),
+        input_size=(size, size),
+    )
+    optimizer = make_optimizer()
+    state = create_train_state(codec.variables["params"], optimizer)
+    step = make_train_step(
+        codec.module, optimizer, lmbda=0.0018, matmul_precision="bfloat16"
+    )
+    rng = np.random.default_rng(0)
+    batch = rng.random((B, size, size, 3), dtype=np.float32)
+    key = jax.random.key(1)
+
+    state, metrics = step(state, batch, key)  # compile
+    jax.block_until_ready(metrics)
+    try:
+        lowered = step.lower(state, batch, key)
+        flops = float(lowered.compile().cost_analysis()["flops"])
+    except Exception:  # pragma: no cover - cost analysis is best-effort
+        flops = None
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, key)
+        jax.block_until_ready(metrics)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    line = {
+        "metric": "train_step_hyperprior_256px_b8",
+        "value": round(B / dt, 2),
+        "unit": "images/s",
+        "step_ms": round(dt * 1e3, 1),
+        "loss": round(float(metrics["loss"]), 4),
+    }
+    if flops is not None:
+        line["xla_flops_per_step"] = flops
+        line["mfu_est"] = round(flops / dt / PEAK_FLOPS, 4)
+        line["mfu_peak_flops_assumed"] = PEAK_FLOPS
+    return line
 
 
 def probe_link_bandwidth(mb: int = 16):
@@ -164,7 +270,6 @@ def probe_link_bandwidth(mb: int = 16):
     bandwidth varies ~2x run to run and bounds the pipelined configs, so
     record it alongside the throughput numbers."""
     import jax
-    import jax.numpy as jnp
 
     buf = np.zeros(mb << 20, np.uint8)
     dev = jax.device_put(buf)  # warm the path
@@ -178,8 +283,6 @@ def probe_link_bandwidth(mb: int = 16):
 
 
 def main():
-    import os
-
     if not _probe_tpu():
         print("TPU probe failed/hung; benchmarking on CPU backend",
               file=sys.stderr)
@@ -195,7 +298,7 @@ def main():
         pass
 
     only = os.environ.get("LMIC_BENCH_CONFIGS")
-    selected = set(only.split(",")) if only else set(BASELINES)
+    selected = set(only.split(",")) if only else set(BASELINES) | {"train"}
 
     runners = {
         "bmshj2018-factorized": lambda: bench_pipelined(
@@ -219,25 +322,28 @@ def main():
         if name not in selected:
             continue
         baseline, provenance = BASELINES[name]
+        pallas_before = os.environ.get("LMIC_PALLAS")
         try:
-            mp_s = run()
+            mp_s, extra = run()
         except Exception as e:
             # the GDN Pallas kernel is the one platform-specific compile in
-            # the warmups; fall back to the pure-XLA GDN once and retry
-            if os.environ.get("LMIC_PALLAS") != "0":
-                print(f"{name} failed ({type(e).__name__}: {e}); retrying "
-                      "with LMIC_PALLAS=0", file=sys.stderr)
-                os.environ["LMIC_PALLAS"] = "0"
-                try:
-                    mp_s = run()
-                except Exception as e2:  # keep the bench alive
-                    print(f"{name} failed: {type(e2).__name__}: {e2}",
-                          file=sys.stderr)
-                    continue
-            else:
-                print(f"{name} failed: {type(e).__name__}: {e}",
+            # the warmups; fall back to the pure-XLA GDN for THIS config
+            # only and retry (the geomean must not silently change backend
+            # for later configs — ADVICE r2)
+            print(f"{name} failed ({type(e).__name__}: {e}); retrying "
+                  "with LMIC_PALLAS=0", file=sys.stderr)
+            os.environ["LMIC_PALLAS"] = "0"
+            try:
+                mp_s, extra = run()
+            except Exception as e2:  # keep the bench alive
+                print(f"{name} failed: {type(e2).__name__}: {e2}",
                       file=sys.stderr)
                 continue
+            finally:
+                if pallas_before is None:
+                    os.environ.pop("LMIC_PALLAS", None)
+                else:  # pragma: no cover
+                    os.environ["LMIC_PALLAS"] = pallas_before
         vs = mp_s / baseline
         speedups.append(vs)
         line = {
@@ -248,14 +354,7 @@ def main():
             "baseline_mp_s": baseline,
             "baseline_provenance": provenance,
         }
-        if name.startswith(("mbt2018", "cheng2020")):
-            # AR decode scans run on the CPU device behind the TPU tunnel
-            # (io_callback limitation); record which mode was measured
-            from lmic_tpu.models.joint import _ar_decode_device
-
-            line["ar_decode_device"] = (
-                "cpu" if _ar_decode_device() is not None else "default"
-            )
+        line.update(extra)
         print(json.dumps(line), flush=True)
         # refresh the headline after EVERY config: the driver parses the
         # LAST JSON line, and a full 5-config run (compiles included) can
@@ -269,6 +368,23 @@ def main():
             "vs_baseline": round(geomean, 2),
             "n_configs": len(speedups),
         }), flush=True)
+
+    if "train" in selected:
+        try:
+            print(json.dumps(bench_train_step()), flush=True)
+        except Exception as e:  # pragma: no cover - keep the bench alive
+            print(f"train_step bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        if speedups:
+            # re-print the headline so the LAST line stays the geomean
+            geomean = float(np.exp(np.mean(np.log(speedups))))
+            print(json.dumps({
+                "metric": "encdec_speedup_geomean_vs_cpu_reference",
+                "value": round(geomean, 2),
+                "unit": "x",
+                "vs_baseline": round(geomean, 2),
+                "n_configs": len(speedups),
+            }), flush=True)
 
     if not speedups:
         print(json.dumps({"metric": "encdec_speedup_geomean",

@@ -57,6 +57,17 @@ class CompressionCodec:
         self.variables = variables
         self.eb_state: Optional[EBState] = None
         self.gc_state: Optional[GCState] = None
+        # per-stage wall-clock of the LAST compress/decompress call
+        # (fetch/upload legs vs host rANS legs), for perf attribution —
+        # bench.py surfaces these in its JSON lines
+        self.stats: Dict[str, float] = {}
+
+    def _stat(self, key: str, t0: float) -> float:
+        import time
+
+        now = time.perf_counter()
+        self.stats[key] = round((now - t0) * 1e3, 1)
+        return now
 
     # -- training/eval forward ------------------------------------------------
     def __call__(self, x, training: bool = False, key=None):
@@ -193,13 +204,20 @@ class FactorizedPriorCodec(CompressionCodec):
     def _fetch_symbols(self, x_dev, packed):
         """ONE device->host fetch resolves flag + symbols; on the rare int8
         overflow rerun the int16 pass."""
+        import time
+
+        t0 = time.perf_counter()
         buf = np.asarray(packed)  # single transfer: [flag | int8 symbols]
+        self._stat("enc_fetch_ms", t0)
         if buf[0] == 0:
             B, H, W = x_dev.shape[:3]
             return buf[1:].view(np.int8).reshape(self._latent_shape(B, H, W))
         return np.asarray(self._enc_u8(x_dev))  # pragma: no cover - rare
 
     def _code_symbols(self, sym):
+        import time
+
+        t0 = time.perf_counter()
         B, C = sym.shape[:2]
         indexes = np.broadcast_to(
             np.arange(C, dtype=np.int32)[:, None],
@@ -210,6 +228,7 @@ class FactorizedPriorCodec(CompressionCodec):
         y_strings = _rans.encode_batch(
             sym.reshape(B, -1), indexes.reshape(-1), self.eb_state.table
         )
+        self._stat("enc_rans_ms", t0)
         return {"strings": [y_strings], "shape": sym.shape[2:4]}
 
     def compress_async(self, x):
@@ -260,25 +279,33 @@ class FactorizedPriorCodec(CompressionCodec):
         return lambda: {"x_hat": np.asarray(fut.result())}
 
     def _decompress_u8_body(self, strings, shape):
+        import time
+
         from lmic_tpu.entropy import coder as _rans
 
+        t0 = time.perf_counter()
         C = len(self.eb_state.medians)
         H, W = shape
         indexes = np.repeat(np.arange(C, dtype=np.int32), H * W)
         sym = _rans.decode_batch(strings[0], indexes, self.eb_state.table)
         sym = sym.reshape(len(strings[0]), C, H, W)
         sym = sym.astype(_narrowest_int(sym))
+        self._stat("dec_rans_ms", t0)
         return self._dec_u8(jnp.asarray(sym))  # device value (async)
 
     def decompress(self, strings, shape, u8: bool = False):
         self._check_updated()
         assert isinstance(strings, list) and len(strings) == 1
         if u8:
+            import time
+
             if not hasattr(self, "_enc_u8"):
                 self._build_u8_fns()
-            return {"x_hat": np.asarray(
-                self._decompress_u8_body(strings, shape)
-            )}
+            dev = self._decompress_u8_body(strings, shape)
+            t0 = time.perf_counter()
+            out = np.asarray(dev)
+            self._stat("dec_fetch_ms", t0)
+            return {"x_hat": out}
         y_hat = self.eb_state.decompress(strings[0], tuple(shape))
         x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
         return {"x_hat": x_hat}
@@ -473,8 +500,12 @@ class HyperpriorCodec(CompressionCodec):
         return (B, m.N, H // 64, W // 64), (B, m.M, H // 16, W // 16)
 
     def _finish_compress_u8(self, x: np.ndarray, pending):
+        import time
+
         packed, y16 = pending
+        t0 = time.perf_counter()
         buf = np.asarray(packed)  # ONE device->host transfer
+        t0 = self._stat("enc_fetch_ms", t0)
         if buf[0]:  # pragma: no cover - extreme hyper latents
             return self.compress(x.astype(np.float32) / 255.0)
         zshape, yshape = self._latent_shapes(*x.shape[:3])
@@ -501,6 +532,7 @@ class HyperpriorCodec(CompressionCodec):
         y_strings = rans.encode_batch(
             ysym.reshape(B, -1), idx.reshape(B, -1), self.gc_state.table
         )
+        self._stat("enc_rans_ms", t0)
         return {"strings": [y_strings, z_strings],
                 "shape": zshape[2:4]}
 
@@ -530,9 +562,12 @@ class HyperpriorCodec(CompressionCodec):
         return finalize
 
     def _decompress_u8(self, strings, shape, _async: bool = False):
+        import time
+
         if not hasattr(self, "_analyze_u8"):
             self._build_u8_fns()
         y_strings, z_strings = strings[0], strings[1]
+        t0 = time.perf_counter()
         C = len(self.eb_state.medians)
         H, W = shape
         ch_idx = np.repeat(np.arange(C, dtype=np.int32), H * W)
@@ -549,17 +584,29 @@ class HyperpriorCodec(CompressionCodec):
                 np.clip(out["x_hat"], 0.0, 1.0) * 255.0
             ).astype(np.uint8)}
         z8 = z_sym.astype(np.int8)
+        t0 = self._stat("dec_z_rans_ms", t0)
         idx_dev, means_dev = self._params_from_zsym(jnp.asarray(z8))
         idx = np.asarray(idx_dev, dtype=np.int32)
+        t0 = self._stat("dec_idx_fetch_ms", t0)
         B = idx.shape[0]
         y_sym = rans.decode_batch(
             y_strings, idx.reshape(B, -1), self.gc_state.table
         ).reshape(idx.shape)
         y_up = y_sym.astype(_narrowest_int(y_sym))
+        self._stat("dec_y_rans_ms", t0)
         x_dev = self._synth_u8(jnp.asarray(y_up), means_dev)  # async
+
+        def fetch():
+            import time as _t
+
+            t1 = _t.perf_counter()
+            out = np.asarray(x_dev)
+            self._stat("dec_fetch_ms", t1)
+            return {"x_hat": out}
+
         if _async:
-            return lambda: {"x_hat": np.asarray(x_dev)}
-        return {"x_hat": np.asarray(x_dev)}
+            return fetch
+        return fetch()
 
     def decompress(self, strings, shape, u8: bool = False):
         self._check_updated()

@@ -408,15 +408,23 @@ class JointARCodec(CompressionCodec):
                 sym_flat, idx_flat, self.gc_state.table
             )
 
+        import time
+
+        t0 = time.perf_counter()
         if self._fanout_devices and B > 1:
             y_strings = self._fanout_map(B, encode_one)
         else:
             y_strings = [encode_one(i) for i in range(B)]
+        self._stat("enc_scan_rans_ms", t0)
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
     def compress(self, x):
+        import time
+
         self._check_updated()
+        t0 = time.perf_counter()
         y, z = jax.device_get(self._analyze(jnp.asarray(x)))
+        self._stat("enc_fetch_ms", t0)
         return self._code_y_z(np.asarray(y), np.asarray(z))
 
     # -- decode ------------------------------------------------------------
@@ -528,7 +536,12 @@ class JointARCodec(CompressionCodec):
         ])
 
     def decompress(self, strings, shape):
+        import time
+
         self._check_updated()
+        t0 = time.perf_counter()
         y_hat = self._decode_y_hat(strings, shape)
+        t0 = self._stat("dec_scan_ms", t0)
         x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
+        self._stat("dec_fetch_ms", t0)
         return {"x_hat": x_hat}

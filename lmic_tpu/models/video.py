@@ -684,7 +684,11 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             [(z8, idx, y8, zovf, yovf)
              for z8, idx, y8, _, zovf, yovf in parts]
         )
+        import time
+
+        t0 = time.perf_counter()
         buf = np.asarray(packed)  # the GOP's single device->host fetch
+        t0 = self._stat("enc_fetch_ms", t0)
         n = len(parts)
         flags = buf[:2 * n]
         if flags[0::2].any():  # pragma: no cover - extreme hyper latents
@@ -704,6 +708,7 @@ class ScaleSpaceFlowCodec(CompressionCodec):
                 ysym = buf[off:off + yn].view(np.int8).reshape(y8.shape)
             off += yn
             outs.append(sts[label].code_part(z_sym, idx, ysym))
+        self._stat("enc_rans_ms", t0)
         frame_strings = [outs[0]["strings"]]
         shape_infos = [outs[0]["shape"]]
         k = 1
@@ -766,10 +771,14 @@ class ScaleSpaceFlowCodec(CompressionCodec):
                 (strings[i]["motion"], shapes[i]["motion"]),
                 (strings[i]["residual"], shapes[i]["residual"]),
             ]
+        import time
+
+        t0 = time.perf_counter()
         z_syms = [
             sts[label].decode_z(s[1], shp)
             for label, (s, shp) in zip(labels, specs)
         ]
+        t0 = self._stat("dec_z_rans_ms", t0)
         if any(
             zs.size and (zs.min() < -128 or zs.max() > 127) for zs in z_syms
         ):  # pragma: no cover - mirrors the encode fallback
@@ -781,6 +790,7 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             for k, label in enumerate(labels)
         ]
         idx_buf = np.asarray(self._cat_u8([idx for idx, _ in pm]))  # 1 sync
+        t0 = self._stat("dec_idx_fetch_ms", t0)
         y_syms = []
         off = 0
         for k, (label, (s, _)) in enumerate(zip(labels, specs)):
@@ -793,6 +803,7 @@ class ScaleSpaceFlowCodec(CompressionCodec):
                     s[0], idx_k.reshape(B, -1), sts[label].gc_state.table
                 ).reshape(ishape)
             )
+        t0 = self._stat("dec_y_rans_ms", t0)
         fits8 = all(
             ys.size == 0 or (ys.min() >= -128 and ys.max() <= 127)
             for ys in y_syms
@@ -816,7 +827,10 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         stacked = jnp.stack(frames, axis=1)
         if u8:
             stacked = self._egress_u8(stacked)
-        return np.asarray(stacked)
+        t1 = time.perf_counter()
+        out = np.asarray(stacked)
+        self._stat("dec_fetch_ms", t1)
+        return out
 
     def _decompress_chunk_sync(self, strings, shapes, u8: bool = False):
         """Reference-shaped per-frame loop (fallback for symbol overflow)."""

@@ -77,15 +77,26 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
         raise ValueError(f"{type(codec).__name__} has no u8 fast path")
     codec._build_u8_fns()
     data = NamedSharding(mesh, P(axis))
-    for name in ("_enc_u8_i8", "_enc_u8", "_dec_u8", "_analyze_u8",
-                 "_params_from_zsym", "_ysym", "_synth_u8"):
+    repl = NamedSharding(mesh, P())
+    # per-jit input shardings: batch-dim arrays shard over `axis`, scalars
+    # (overflow counters) replicate
+    specs = {
+        "_enc_u8_i8": (data,),
+        "_enc_u8": (data,),
+        "_enc_u8_packed": (data,),
+        "_dec_u8": (data,),
+        "_analyze_u8": (data,),
+        "_params_from_zsym": (data,),
+        "_ysym": (data, data),
+        "_synth_u8": (data, data),
+        "_pack_enc": (data, data, data, repl, repl),
+    }
+    for name, shardings in specs.items():
         fn = getattr(codec, name, None)
         if fn is None:
             continue
-        # re-jit the original python callable with a sharded batch input;
+        # re-jit the original python callable with sharded batch inputs;
         # remaining args (means etc.) keep their natural shardings
         inner = fn.__wrapped__
-        n_in = {"_ysym": 2, "_synth_u8": 2}.get(name, 1)
-        shardings = tuple([data] * n_in)
         setattr(codec, name, jax.jit(inner, in_shardings=shardings))
     return codec
