@@ -90,6 +90,150 @@ def read_body(f):
     return shape, groups
 
 
+# ---------------------------------------------------------------------------
+# Reference container (examples/codec_rgbt.py) — byte-compatible read/write
+# ---------------------------------------------------------------------------
+#
+# Layout (codec_rgbt.py:141-249,355-386): NO magic; 1B model id (the
+# fork's `models` dict enumeration order :71-72) + 1B (metric<<4 |
+# quality-1), u32 (h, w), u8 bitdepth, [video: u32 num_frames], then per
+# body u32 (shape_h, shape_w, n_strings) and per stream u32 length + raw
+# bytes. Only the byte-interop family is eligible: the non-AR image codecs
+# and ssf2020 (AR streams use this framework's wavefront symbol order, so
+# a cross-read file would not decode; master/guided embed AR streams).
+
+REF_MODEL_IDS = {
+    "bmshj2018-factorized": 0,
+    "bmshj2018-hyperprior": 1,
+    "mbt2018-mean": 2,
+    "mbt2018": 3,
+    "cheng2020-anchor": 4,
+    "cheng2020-attn": 5,
+    "ssf2020": 6,
+    "master": 7,
+    "guided": 8,
+}
+REF_ID_TO_MODEL = {v: k for k, v in REF_MODEL_IDS.items()}
+REF_INTEROP_ARCHS = {
+    "bmshj2018-factorized", "bmshj2018-hyperprior", "mbt2018-mean",
+    "ssf2020",
+}
+
+
+def write_body_ref(f, shape, string_groups):
+    write_uints(f, (shape[0], shape[1], len(string_groups)))
+    for group in string_groups:
+        assert len(group) == 1, "reference container is single-image"
+        write_uints(f, (len(group[0]),))
+        f.write(group[0])
+
+
+def read_body_ref(f):
+    h, w, n = read_uints(f, 3)
+    return (h, w), [[f.read(read_uints(f, 1)[0])] for _ in range(n)]
+
+
+def encode_image_ref(input_path, output_path, codec, arch, quality,
+                     metric="mse"):
+    """Write a file the reference's decode_image reads byte-for-byte.
+
+    Like the reference encoder (codec_rgbt.py:355 — its pad call is
+    commented out), the image is coded UNPADDED; dimensions must already
+    be multiples of 64.
+    """
+    x = _load(input_path)
+    H, W = x.shape[1:3]
+    if H % 64 or W % 64:
+        raise SystemExit(
+            "reference container encodes unpadded images; dimensions must "
+            f"be multiples of 64 (got {H}x{W})"
+        )
+    out = codec.compress(x)
+    with open(output_path, "wb") as f:
+        write_uchars(f, (REF_MODEL_IDS[arch],
+                         (METRIC_IDS[metric] << 4) | (quality - 1)))
+        write_uints(f, (H, W))
+        write_uchars(f, (8,))
+        write_body_ref(f, out["shape"], out["strings"])
+    return Path(output_path).stat().st_size
+
+
+def decode_image_ref(f, output_path, make_codec, arch, quality):
+    H, W = read_uints(f, 2)
+    (bitdepth,) = read_uchars(f, 1)
+    shape, strings = read_body_ref(f)
+    codec = make_codec(arch, quality)
+    rec = codec.decompress(strings, shape)
+    _save(crop_center(rec["x_hat"], H, W), output_path)
+
+
+def encode_video_ref(input_path, output_path, codec, quality, metric="mse",
+                     num_frames: int = -1):
+    """Reference video container (codec_rgbt.py:389-450): header + per
+    frame write_body calls, frames padded centered to 128."""
+    from lmic_tpu.datasets.rawvideo import RawVideoSequence, VideoFormat
+    from lmic_tpu.utils.video_eval import pad_frames, yuv420_frame_to_rgb
+
+    seq = RawVideoSequence.from_file(str(input_path))
+    if seq.video_format != VideoFormat.YUV420:
+        raise NotImplementedError(f"unsupported format: {seq.video_format}")
+    n = len(seq) if num_frames < 0 else min(num_frames, len(seq))
+    with open(output_path, "wb") as f:
+        write_uchars(f, (REF_MODEL_IDS["ssf2020"],
+                         (METRIC_IDS[metric] << 4) | (quality - 1)))
+        write_uints(f, (seq.height, seq.width))
+        write_uchars(f, (seq.bitdepth,))
+        write_uints(f, (n,))
+        x_ref = None
+        for i in range(n):
+            x, _ = pad_frames(yuv420_frame_to_rgb(seq[i], seq.bitdepth),
+                              p=128)
+            if i == 0:
+                x_ref, out = codec.encode_keyframe(x)
+                write_body_ref(f, out["shape"], out["strings"])
+            else:
+                x_ref, out = codec.encode_inter(x, x_ref)
+                for part in ("motion", "residual"):
+                    write_body_ref(f, out["shape"][part],
+                                   out["strings"][part])
+            x_ref = np.clip(np.asarray(x_ref), 0.0, 1.0)
+    seq.close()
+    return Path(output_path).stat().st_size
+
+
+def decode_video_ref(f, output_path, make_codec, quality):
+    """Mirror of encode_video_ref / the reference's decode_video."""
+    H, W = read_uints(f, 2)
+    (bitdepth,) = read_uchars(f, 1)
+    (n,) = read_uints(f, 1)
+    codec = make_codec("ssf2020", quality)
+    out_is_yuv = str(output_path).endswith(".yuv")
+    x_ref = None
+    img = None
+    for i in range(n):
+        if i == 0:
+            shape, strings = read_body_ref(f)
+            x_ref = codec.decode_keyframe(strings, shape)
+        else:
+            mshape, mstrings = read_body_ref(f)
+            rshape, rstrings = read_body_ref(f)
+            x_ref = codec.decode_inter(
+                x_ref,
+                {"motion": mstrings, "residual": rstrings},
+                {"motion": mshape, "residual": rshape},
+            )
+        x_ref = np.clip(np.asarray(x_ref), 0.0, 1.0)
+        img = crop_center(x_ref, H, W)
+        if out_is_yuv:
+            y, u, v = _rgb_to_yuv420_planes(img, bitdepth)
+            with open(output_path, "wb" if i == 0 else "ab") as fout:
+                for plane in (y, u, v):
+                    plane.tofile(fout)
+    if not out_is_yuv and img is not None:
+        _save(img, output_path)
+    return n
+
+
 def _load(path, channel=3):
     img = Image.open(path).convert("RGB" if channel == 3 else "L")
     arr = np.asarray(img, np.float32) / 255.0
@@ -106,9 +250,22 @@ def _save(arr, path):
 
 
 def pad_to(x, p=64):
+    """Centered zero pad to a multiple of p (the reference's pad
+    convention, codec_rgbt.py:279-293)."""
     H, W = x.shape[1:3]
     nh, nw = -(-H // p) * p, -(-W // p) * p
-    return np.pad(x, ((0, 0), (0, nh - H), (0, nw - W), (0, 0))), (H, W)
+    left, top = (nw - W) // 2, (nh - H) // 2
+    return np.pad(
+        x, ((0, 0), (top, nh - H - top), (left, nw - W - left), (0, 0))
+    ), (H, W)
+
+
+def crop_center(x, H, W):
+    """Centered crop back to (H, W) — the inverse of pad_to
+    (codec_rgbt.py:296-308)."""
+    Hp, Wp = x.shape[1:3]
+    top, left = (Hp - H) // 2, (Wp - W) // 2
+    return x[:, top:top + H, left:left + W]
 
 
 def encode_image(input_path, output_path, codec, arch, quality,
@@ -138,7 +295,7 @@ def decode_image(input_path, output_path, make_codec):
         shape, strings = read_body(f)
     codec = make_codec(arch, quality)
     rec = codec.decompress(strings, shape)
-    _save(rec["x_hat"][:, :H, :W], output_path)
+    _save(crop_center(rec["x_hat"], H, W), output_path)
     return arch, quality
 
 
@@ -160,28 +317,34 @@ def encode_rgbt(master_path, guide_path, output_path, guided_codec,
         write_uchars(f, (MODEL_IDS["master"],
                          (METRIC_IDS[metric] << 4) | (quality - 1)))
         write_uints(f, (x.shape[1], x.shape[2]))
-        write_uchars(f, (8,))
+        # channel byte: decoding must rebuild the SAME guided/master pair
+        # regardless of the decoder's --channel flag
+        write_uchars(f, (8, channel))
         write_floats(f, beta.tolist())
         write_floats(f, gamma.tolist())
         write_body(f, m_out["shape"], m_out["strings"])
     return Path(output_path).stat().st_size
 
 
-def decode_rgbt(input_path, guide_path, output_path, guided_codec,
-                master_codec, channel=1):
+def decode_rgbt(input_path, guide_path, output_path, build_guided,
+                build_master):
     """The decoder re-codes the guide from its own source
-    (codec_rgbt.py:538-544)."""
+    (codec_rgbt.py:538-544). The master channel count comes from the
+    container header; `build_guided`/`build_master` are channel->codec
+    factories."""
     with open(input_path, "rb") as f:
         (magic,) = read_uints(f, 1)
         assert magic == MAGIC
         model_id, mq = read_uchars(f, 2)
         H, W = read_uints(f, 2)
-        (bitdepth,) = read_uchars(f, 1)
+        bitdepth, channel = read_uchars(f, 2)
         beta = np.asarray(read_floats(f, 64), np.float32).reshape(1, 1, 1, 64)
         gamma = np.asarray(read_floats(f, 64), np.float32).reshape(
             1, 1, 1, 64
         )
         shape, strings = read_body(f)
+    guided_codec = build_guided(4 - channel)
+    master_codec = build_master(channel)
     guided = _load(guide_path, channel=4 - channel)
     g_out = guided_codec.compress(guided)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
@@ -189,7 +352,7 @@ def decode_rgbt(input_path, guide_path, output_path, guided_codec,
         {"strings": strings, "shape": shape, "beta": beta, "gamma": gamma},
         g_dec,
     )
-    _save(rec["x_hat"][:, :H, :W], output_path)
+    _save(crop_center(rec["x_hat"], H, W), output_path)
 
 
 def encode_video(input_path, output_path, codec, quality, metric="mse",
@@ -268,7 +431,7 @@ def decode_video(f, output_path, make_codec, quality):
                 {"motion": mshape, "residual": rshape},
             )
         x_ref = np.clip(np.asarray(x_ref), 0.0, 1.0)
-        img = x_ref[:, :H, :W]
+        img = crop_center(x_ref, H, W)
         if out_is_yuv:
             y, u, v = _rgb_to_yuv420_planes(img, bitdepth)
             with open(output_path, "wb" if i == 0 else "ab") as fout:
@@ -297,6 +460,12 @@ def parse_args(argv):
                    help="RGBT: deployment checkpoint for the guide codec")
     e.add_argument("--channel", type=int, default=1,
                    help="RGBT: master channel count")
+    e.add_argument("--container", choices=["lmic", "reference"],
+                   default="lmic",
+                   help="bitstream container: this framework's (default) "
+                        "or the reference codec app's byte-compatible "
+                        "layout (non-AR + ssf2020 family; "
+                        "codec_rgbt.py:188-249). Decode auto-detects.")
     d = sub.add_parser("decode")
     d.add_argument("input")
     d.add_argument("-o", "--output", default="out.png",
@@ -328,9 +497,16 @@ def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
     if args.command == "encode":
         t0 = time.perf_counter()
+        reference = getattr(args, "container", "lmic") == "reference"
         if args.guide is not None or args.arch == "master":
             if args.guide is None:
                 raise SystemExit("encode --arch master requires --guide")
+            if reference:
+                raise SystemExit(
+                    "reference container: master embeds AR streams whose "
+                    "symbol order is framework-specific; use the default "
+                    "container"
+                )
             guided = _build("guided", args.quality, args.guided_checkpoint,
                             channel=4 - args.channel)
             master = _build("master", args.quality, args.checkpoint,
@@ -340,40 +516,83 @@ def main(argv=None):
                                channel=args.channel)
         elif args.arch == "ssf2020":
             codec = _build("ssf2020", args.quality, args.checkpoint)
-            size = encode_video(args.input, args.output, codec,
-                                args.quality, num_frames=args.frames)
+            enc = encode_video_ref if reference else encode_video
+            size = enc(args.input, args.output, codec,
+                       args.quality, num_frames=args.frames)
         else:
+            if args.arch not in MODEL_IDS:
+                raise SystemExit(
+                    f"arch {args.arch!r} has no container id; file coding "
+                    f"supports: {', '.join(sorted(MODEL_IDS))}"
+                )
+            if reference and args.arch not in REF_INTEROP_ARCHS:
+                raise SystemExit(
+                    "reference container supports the byte-interop family "
+                    f"only: {', '.join(sorted(REF_INTEROP_ARCHS))}"
+                )
             codec = _build(args.arch, args.quality, args.checkpoint)
-            size = encode_image(args.input, args.output, codec, args.arch,
-                                args.quality)
+            enc = encode_image_ref if reference else encode_image
+            size = enc(args.input, args.output, codec, args.arch,
+                       args.quality)
         print(f"encoded {size} bytes in {time.perf_counter()-t0:.2f}s")
     else:
         t0 = time.perf_counter()
+        # container auto-detect: ours leads with a u32 magic; the
+        # reference's first byte is a small model id whose following
+        # bytes parse as (h, w) far below the magic value
         with open(args.input, "rb") as f:
-            (magic,) = read_uints(f, 1)
-            assert magic == MAGIC, "invalid file"
-            model_id, mq = read_uchars(f, 2)
-            quality = (mq & 0x0F) + 1
-            arch = ID_TO_MODEL[model_id]
-            if arch == "ssf2020":
-                decode_video(
-                    f, args.output,
-                    lambda a, q: _build(a, q, args.checkpoint), quality,
+            head = f.read(4)
+        ours = len(head) == 4 and struct.unpack(">I", head)[0] == MAGIC
+        if ours:
+            with open(args.input, "rb") as f:
+                read_uints(f, 1)
+                model_id, mq = read_uchars(f, 2)
+                quality = (mq & 0x0F) + 1
+                arch = ID_TO_MODEL[model_id]
+                if arch == "ssf2020":
+                    decode_video(
+                        f, args.output,
+                        lambda a, q: _build(a, q, args.checkpoint), quality,
+                    )
+            if arch == "master":
+                if args.guide is None:
+                    raise SystemExit(
+                        "decoding a master file requires --guide"
+                    )
+                decode_rgbt(
+                    args.input, args.guide, args.output,
+                    lambda ch: _build("guided", quality,
+                                      args.guided_checkpoint, channel=ch),
+                    lambda ch: _build("master", quality, args.checkpoint,
+                                      channel=ch),
                 )
-        if arch == "master":
-            if args.guide is None:
-                raise SystemExit("decoding a master file requires --guide")
-            guided = _build("guided", quality, args.guided_checkpoint,
-                            channel=4 - args.channel)
-            master = _build("master", quality, args.checkpoint,
-                            channel=args.channel)
-            decode_rgbt(args.input, args.guide, args.output, guided,
-                        master, channel=args.channel)
-        elif arch != "ssf2020":
-            decode_image(
-                args.input, args.output,
-                lambda a, q: _build(a, q, args.checkpoint),
-            )
+            elif arch != "ssf2020":
+                decode_image(
+                    args.input, args.output,
+                    lambda a, q: _build(a, q, args.checkpoint),
+                )
+        else:  # reference container
+            with open(args.input, "rb") as f:
+                model_id, mq = read_uchars(f, 2)
+                quality = (mq & 0x0F) + 1
+                arch = REF_ID_TO_MODEL.get(model_id)
+                if arch not in REF_INTEROP_ARCHS:
+                    raise SystemExit(
+                        f"reference-container arch {arch!r} is outside the "
+                        "byte-interop family (AR symbol order is "
+                        "framework-specific)"
+                    )
+                if arch == "ssf2020":
+                    decode_video_ref(
+                        f, args.output,
+                        lambda a, q: _build(a, q, args.checkpoint), quality,
+                    )
+                else:
+                    decode_image_ref(
+                        f, args.output,
+                        lambda a, q: _build(a, q, args.checkpoint),
+                        arch, quality,
+                    )
         print(f"decoded [{arch} q={quality}] in "
               f"{time.perf_counter()-t0:.2f}s")
 

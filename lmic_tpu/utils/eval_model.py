@@ -145,6 +145,54 @@ def eval_rgbt_pair(guided_codec, master_codec, x, guided,
     }
 
 
+def eval_rd_pair(guided_codec, master_codec, x, guided,
+                 entropy_estimation: bool = False) -> Dict[str, float]:
+    """Paired eval for the `_R`/`_D` variants (same-size modalities).
+
+    The reference fork ships no eval CLI for these models; the metric set
+    mirrors the guided/master pair minus the beta/gamma side info the
+    `_D` architecture does not transmit (it fuses hidden maps instead —
+    google.py:1006-1423)."""
+    num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+    if entropy_estimation:
+        g_fwd = guided_codec.module.apply(
+            guided_codec.variables, jnp.asarray(guided), training=False
+        )
+        m_fwd = master_codec.module.apply(
+            master_codec.variables, jnp.asarray(x), g_fwd["hidden"],
+            training=False,
+        )
+        bits = sum(
+            float(-jnp.sum(jnp.log2(lik)))
+            for lik in m_fwd["likelihoods"].values()
+        )
+        return {
+            "psnr": float(psnr(m_fwd["x_hat"], jnp.asarray(x))),
+            "ms-ssim": float(ms_ssim(m_fwd["x_hat"], jnp.asarray(x))),
+            "bpp": bits / num_pixels,
+        }
+    t0 = time.perf_counter()
+    g_out = guided_codec.compress(guided)
+    g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
+    m_out = master_codec.compress(x, g_out["hidden"])
+    enc_time = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    m_dec = master_codec.decompress(
+        m_out["strings"], m_out["shape"], g_dec["hidden"]
+    )
+    dec_time = time.perf_counter() - t0
+    bits = sum(len(s) for grp in m_out["strings"] for s in grp) * 8.0
+    return {
+        "psnr": float(psnr(jnp.asarray(m_dec["x_hat"]), jnp.asarray(x))),
+        "ms-ssim": float(
+            ms_ssim(jnp.asarray(m_dec["x_hat"]), jnp.asarray(x))
+        ),
+        "bpp": bits / num_pixels,
+        "encoding_time": enc_time,
+        "decoding_time": dec_time,
+    }
+
+
 def parse_args(argv):
     p = argparse.ArgumentParser(description="lmic_tpu RD evaluation")
     p.add_argument("--arch", default="bmshj2018-factorized")
@@ -180,14 +228,29 @@ def run_rgbt(args) -> List[Dict[str, float]]:
     from lmic_tpu.datasets.image import ImageFolderTest
     from lmic_tpu.utils.checkpoint import load_updated_model
 
-    guided_codec = zoo.create_model(
-        "guided", args.quality, channel=4 - args.channel,
-        input_size=(64, 64),
-    )
-    master_codec = zoo.create_model(
-        "master", args.quality, channel=args.channel,
-        input_size=(128, 128),
-    )
+    rd_pair = args.arch.endswith("_D")
+    if rd_pair:
+        # `cheng2020-attn_D` pairs with `cheng2020-attn_R` etc.; the
+        # modalities are same-size (google.py:746,1006)
+        # _D init needs >=128 px: ESA's valid-padded 7x7 maxpool vanishes
+        # below 16 px at the deepest fusion level
+        guided_codec = zoo.create_model(
+            args.arch[:-2] + "_R", args.quality, channel=4 - args.channel,
+            input_size=(128, 128),
+        )
+        master_codec = zoo.create_model(
+            args.arch, args.quality, channel=args.channel,
+            input_size=(128, 128),
+        )
+    else:
+        guided_codec = zoo.create_model(
+            "guided", args.quality, channel=4 - args.channel,
+            input_size=(64, 64),
+        )
+        master_codec = zoo.create_model(
+            "master", args.quality, channel=args.channel,
+            input_size=(128, 128),
+        )
     if args.guided_checkpoint:
         guided_codec = load_updated_model(args.guided_checkpoint,
                                           guided_codec)
@@ -209,10 +272,19 @@ def run_rgbt(args) -> List[Dict[str, float]]:
     results = []
     for i in range(len(ds)):
         x, guided = ds[i]
-        m = eval_rgbt_pair(
-            guided_codec, master_codec, x[None], guided[None],
-            entropy_estimation=args.entropy_estimation,
-        )
+        if rd_pair:
+            from lmic_tpu.datasets.image import _resize_np
+
+            guided = _resize_np(guided, x.shape[:2])  # same-size pair
+            m = eval_rd_pair(
+                guided_codec, master_codec, x[None], guided[None],
+                entropy_estimation=args.entropy_estimation,
+            )
+        else:
+            m = eval_rgbt_pair(
+                guided_codec, master_codec, x[None], guided[None],
+                entropy_estimation=args.entropy_estimation,
+            )
         results.append(m)
         print(f"[{i}] " + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
               flush=True)

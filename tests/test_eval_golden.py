@@ -73,25 +73,110 @@ def _run_eval(tmp_path, argv):
         return json.load(f)[-1]["results"]
 
 
-def test_eval_entropy_estimation_golden(tmp_path):
+ALL_ARCHS = [
+    "bmshj2018-factorized",
+    "bmshj2018-hyperprior",
+    "mbt2018-mean",
+    "mbt2018",
+    "cheng2020-anchor",
+    "cheng2020-attn",
+]
+
+
+@pytest.mark.parametrize("arch", ALL_ARCHS)
+def test_eval_entropy_estimation_golden(tmp_path, arch):
+    """Forward-only RD numbers pinned for every image arch in the zoo
+    (the reference pins eval_ee_* fixtures per arch the same way)."""
     d = tmp_path / "images"
     _write_images(d, ["a.png", "b.png"])
     results = _run_eval(tmp_path, [
-        "--arch", "bmshj2018-factorized", "-q", "1", "-d", str(d),
+        "--arch", arch, "-q", "1", "-d", str(d),
         "--entropy-estimation",
     ])
-    _check_golden(results, "eval_ee_bmshj2018-factorized_1.json")
+    _check_golden(results, f"eval_ee_{arch}_1.json")
 
 
-def test_eval_codec_golden(tmp_path):
+@pytest.mark.parametrize("arch", ALL_ARCHS[:4])
+def test_eval_codec_golden(tmp_path, arch):
     """Real-coder mode: pins the whole chain image -> pad -> compress ->
-    rANS -> decompress -> metrics, including actual bitstream sizes."""
+    rANS -> decompress -> metrics, including actual bitstream sizes.
+    mbt2018 exercises the wavefront AR scans end to end."""
     d = tmp_path / "images"
     _write_images(d, ["a.png", "b.png"])
     results = _run_eval(tmp_path, [
-        "--arch", "bmshj2018-hyperprior", "-q", "1", "-d", str(d),
+        "--arch", arch, "-q", "1", "-d", str(d),
     ])
-    _check_golden(results, "eval_rans_bmshj2018-hyperprior_1.json")
+    _check_golden(results, f"eval_rans_{arch}_1.json")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("arch", ALL_ARCHS[4:])
+def test_eval_codec_golden_cheng(tmp_path, arch):
+    """cheng2020 real-coder goldens (slow: wide transforms + AR scans)."""
+    d = tmp_path / "images"
+    _write_images(d, ["a.png", "b.png"])
+    results = _run_eval(tmp_path, [
+        "--arch", arch, "-q", "1", "-d", str(d),
+    ])
+    _check_golden(results, f"eval_rans_{arch}_1.json")
+
+
+def test_eval_rd_pair_golden(tmp_path):
+    """`_R`/`_D` paired eval (mbt2018 pair, EE mode): pins the hidden-map
+    fusion path through the CLI."""
+    master_dir = tmp_path / "val" / "thermal_8_bit"
+    guide_dir = tmp_path / "val" / "RGB"
+    _write_images(master_dir, ["FLIR_08865.png"], size=(256, 320), mode="L")
+    _write_images(guide_dir, ["FLIR_08865.png"], size=(256, 320))
+    # ESA's valid-padded saliency branch needs >=16 px at the deepest
+    # hidden level, so the master crop must be >=128
+    results = _run_eval(tmp_path, [
+        "--arch", "mbt2018_D", "-q", "1", "--channel", "1",
+        "-d", str(master_dir), "--rgbt", "--entropy-estimation",
+        "--crop-size", "128", "128",
+    ])
+    _check_golden(results, "eval_rgbt_mbt2018_D_1.json")
+
+
+def test_video_eval_golden(tmp_path):
+    """lmic-video-eval end to end on a synthetic YUV420 clip, pinning the
+    reference metric set (psnr-y/u/v in the 420 domain, psnr-yuv weighted
+    (4,1,1)/6, rounded-integer RGB metrics) and the reference JSON schema
+    of the cumulative output document."""
+    import json as _json
+
+    from lmic_tpu.utils.video_eval import main as video_main
+
+    W = H = 128
+    T = 3
+    rng = np.random.default_rng(5)
+    raw = rng.integers(
+        0, 255, T * (H * W + 2 * (H // 2) * (W // 2)), dtype=np.uint8
+    )
+    clip = tmp_path / f"clip_{W}x{H}_30_yuv420.yuv"
+    raw.tofile(clip)
+    outdir = tmp_path / "out"
+    video_main(["-d", str(clip), "--gop", "3", "-o", str(outdir)])
+
+    with open(outdir / "ssf2020-ans.json") as f:
+        doc = _json.load(f)
+    # reference cumulative schema (__main__.py:545-568)
+    assert doc["name"] == "ssf2020-mse"
+    assert doc["description"] == "Inference (ans)"
+    assert doc["results"]["q"] == ["ssf2020-mse-1-ans"]
+    for comp in "yuv":
+        assert len(doc["results"][f"psnr-{comp}"]) == 1
+    # per-sequence document exists with the reference field set
+    with open(outdir / f"{clip.stem}-ssf2020-mse-1-ans.json") as f:
+        seq_doc = _json.load(f)
+    assert set(seq_doc) == {"source", "name", "description", "results"}
+    results = {k: v[0] for k, v in doc["results"].items() if k != "q"}
+    # the random-init model's scale fields sit on rANS escape-coding knife
+    # edges, so the byte count shifts with XLA-CPU thread tiling while the
+    # (saturated) recon metrics do not — pin the metrics, sanity-check the
+    # rate
+    assert results.pop("bitrate") > 0
+    _check_golden(results, "eval_video_ssf2020_1.json")
 
 
 @pytest.mark.slow
