@@ -17,6 +17,9 @@ def parse_args(argv):
     p.add_argument("--base-image", default="python:3.12-slim")
     p.add_argument("--tpu", action="store_true",
                    help="install jax[tpu] (TPU VM)")
+    p.add_argument("--cpu", action="store_true",
+                   help="use docker/Dockerfile.cpu (CPU-only jax wheel, "
+                        "reference Dockerfile.cpu analogue)")
     p.add_argument("--data", default=None,
                    help="host dataset dir to mount at /data")
     return p.parse_args(argv)
@@ -25,12 +28,18 @@ def parse_args(argv):
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
     if args.action == "build":
-        pip_extra = "jax[tpu]" if args.tpu else "jax"
-        cmd = (
-            f"docker build -f docker/Dockerfile -t {args.tag} "
-            f"--build-arg BASE_IMAGE={args.base_image} "
-            f"--build-arg PIP_EXTRA='{pip_extra}' ."
-        )
+        if args.cpu:
+            cmd = (
+                f"docker build -f docker/Dockerfile.cpu -t {args.tag} "
+                f"--build-arg BASE_IMAGE={args.base_image} ."
+            )
+        else:
+            pip_extra = "jax[tpu]" if args.tpu else "jax"
+            cmd = (
+                f"docker build -f docker/Dockerfile -t {args.tag} "
+                f"--build-arg BASE_IMAGE={args.base_image} "
+                f"--build-arg PIP_EXTRA='{pip_extra}' ."
+            )
     else:
         mounts = f"-v {args.data}:/data " if args.data else ""
         net = "--net=host --privileged " if args.tpu else ""

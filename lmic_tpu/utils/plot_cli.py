@@ -2,7 +2,8 @@
 
 Reads eval-JSON files (the format written by lmic_tpu.utils.eval_model or
 reference CompressAI results files with per-quality arrays) and renders
-rate-distortion curves with matplotlib.
+rate-distortion curves with matplotlib (default) or plotly
+(--backend plotly -> interactive HTML, reference __main__.py:120-142).
 
 Usage:
   python -m lmic_tpu.utils.plot_cli -f results/*.json --metric psnr \
@@ -44,6 +45,30 @@ def load_series(path: str, metric: str, rate_key: str = "bpp"):
     return series
 
 
+def render_plotly(series_list, ylabel, xlabel, title, output):
+    """Plotly backend (reference utils/plot/__main__.py:120-142): build a
+    go.Figure of scatters and write standalone HTML."""
+    try:
+        import plotly.graph_objs as go
+        import plotly.io as pio
+    except ImportError:
+        # same actionable failure as the reference (:126-129)
+        raise SystemExit(
+            "Unable to import plotly, install with: pip install pandas "
+            "plotly"
+        )
+    fig = go.Figure()
+    for name, rate, val in series_list:
+        fig.add_traces(go.Scatter(x=rate, y=val, name=name))
+    fig.update_xaxes(title_text=xlabel)
+    fig.update_yaxes(title_text=ylabel)
+    if title:
+        fig.update_layout(title=title)
+    filename = output or "plot.html"
+    pio.write_html(fig, file=filename, auto_open=False)
+    print(f"saved {filename}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="RD curve plotting")
     p.add_argument("-f", "--results-file", nargs="+", required=True)
@@ -57,7 +82,30 @@ def main(argv=None):
                         "reference utils/video/plot)")
     p.add_argument("--ssim-db", action="store_true",
                    help="plot MS-SSIM as -10*log10(1 - v) dB")
+    p.add_argument("--backend", choices=["matplotlib", "plotly"],
+                   default="matplotlib",
+                   help="matplotlib renders an image; plotly writes "
+                        "interactive HTML (reference plot CLI parity)")
     args = p.parse_args(argv if argv is not None else sys.argv[1:])
+
+    series_list = []
+    for path in args.results_file:
+        for name, rate, val in load_series(path, args.metric, args.rate):
+            if args.ssim_db and "ssim" in args.metric:
+                val = [-10 * math.log10(max(1e-12, 1 - v)) for v in val]
+            series_list.append((name, rate, val))
+
+    xlabel = "Bit-rate [bpp]" if args.rate == "bpp" else "Bit-rate [kbps]"
+    if "psnr" in args.metric:
+        ylabel = "PSNR [dB]"
+    elif args.ssim_db:
+        ylabel = "MS-SSIM [dB]"
+    else:
+        ylabel = "MS-SSIM"
+
+    if args.backend == "plotly":
+        render_plotly(series_list, ylabel, xlabel, args.title, args.output)
+        return
 
     import matplotlib
 
@@ -66,20 +114,9 @@ def main(argv=None):
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(9, 6))
-    for path in args.results_file:
-        for name, rate, val in load_series(path, args.metric, args.rate):
-            if args.ssim_db and "ssim" in args.metric:
-                val = [-10 * math.log10(max(1e-12, 1 - v)) for v in val]
-            ax.plot(rate, val, ".-", label=name)
-    ax.set_xlabel(
-        "Bit-rate [bpp]" if args.rate == "bpp" else "Bit-rate [kbps]"
-    )
-    if "psnr" in args.metric:
-        ylabel = "PSNR [dB]"
-    elif args.ssim_db:
-        ylabel = "MS-SSIM [dB]"
-    else:
-        ylabel = "MS-SSIM"
+    for name, rate, val in series_list:
+        ax.plot(rate, val, ".-", label=name)
+    ax.set_xlabel(xlabel)
     ax.set_ylabel(ylabel)
     ax.set_title(args.title)
     ax.grid(True, alpha=0.3)

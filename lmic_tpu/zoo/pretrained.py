@@ -400,7 +400,16 @@ def import_reference_coding_state(state_dict: Dict[str, Any], codec,
         medians=quantiles[:, 0, 1].astype(np.float32),
     )
     gc_cdf = buf(f"{gc_prefix}._quantized_cdf")
-    if gc_cdf is not None:
+    if gc_cdf is None:
+        # a codec with a gaussian-conditional stage is only partially
+        # importable from this checkpoint: reporting success would leave
+        # gc_state=None and fail later with a misleading 'Uninitialized
+        # CDFs' — tell the caller to fall back to update(force=True)
+        from lmic_tpu.models.codec import FactorizedPriorCodec
+
+        if not isinstance(codec, FactorizedPriorCodec):
+            return False
+    else:
         codec.gc_state = GCState(
             table=CdfTable(
                 gc_cdf.astype(np.int32),

@@ -202,6 +202,29 @@ def pretrained_url(arch: str, quality: int, metric: str = "mse") -> str:
     return url
 
 
+def _verify_checkpoint_hash(path: str, fname: str) -> None:
+    """The zoo filenames embed the first 8 hex digits of the file's sha256
+    (`...-446d5c7f.pth.tar`); the reference validates downloads against it
+    (torch.hub convention). A mismatch means a corrupted download — fail
+    here rather than caching it and failing confusingly at torch.load."""
+    import hashlib
+    import re
+
+    m = re.search(r"-([0-9a-f]{8})\.pth\.tar$", fname)
+    if not m:
+        return
+    digest = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            digest.update(chunk)
+    if not digest.hexdigest().startswith(m.group(1)):
+        os.remove(path)
+        raise OSError(
+            f"{fname}: sha256 {digest.hexdigest()[:8]} does not match the "
+            f"filename fragment {m.group(1)} (corrupted download)"
+        )
+
+
 def fetch_pretrained(arch: str, quality: int, metric: str = "mse",
                      progress: bool = False) -> str:
     """Resolve (arch, metric, quality) to a local checkpoint path: cache
@@ -218,6 +241,7 @@ def fetch_pretrained(arch: str, quality: int, metric: str = "mse",
     try:
         tmp = path + ".part"
         urllib.request.urlretrieve(url, tmp)
+        _verify_checkpoint_hash(tmp, fname)
         os.replace(tmp, path)
         return path
     except (urllib.error.URLError, OSError) as e:

@@ -144,6 +144,64 @@ class TestFindClose:
 
 
 class TestPlotSeries:
+    def test_plotly_backend(self, tmp_path, monkeypatch):
+        """--backend plotly builds a go.Figure and writes HTML (reference
+        utils/plot/__main__.py:120-142). plotly is not installable here,
+        so a recording stub stands in for the module surface we use."""
+        import sys
+        import types
+
+        calls = {}
+
+        class FakeScatter:
+            def __init__(self, x=None, y=None, name=None):
+                calls.setdefault("scatters", []).append((name, x, y))
+
+        class FakeFigure:
+            def add_traces(self, t):
+                pass
+
+            def update_xaxes(self, **kw):
+                calls["xlabel"] = kw.get("title_text")
+
+            def update_yaxes(self, **kw):
+                calls["ylabel"] = kw.get("title_text")
+
+            def update_layout(self, **kw):
+                calls["title"] = kw.get("title")
+
+        go = types.ModuleType("plotly.graph_objs")
+        go.Figure, go.Scatter = FakeFigure, FakeScatter
+        pio = types.ModuleType("plotly.io")
+
+        def write_html(fig, file=None, auto_open=False):
+            calls["file"] = file
+            with open(file, "w") as f:
+                f.write("<html></html>")
+
+        pio.write_html = write_html
+        plotly = types.ModuleType("plotly")
+        monkeypatch.setitem(sys.modules, "plotly", plotly)
+        monkeypatch.setitem(sys.modules, "plotly.graph_objs", go)
+        monkeypatch.setitem(sys.modules, "plotly.io", pio)
+
+        import json
+
+        from lmic_tpu.utils.plot_cli import main
+
+        data = [{
+            "name": "model-a",
+            "results": {"bpp": [0.1, 0.3], "psnr": [28.0, 32.0]},
+        }]
+        p = tmp_path / "r.json"
+        p.write_text(json.dumps(data))
+        out = tmp_path / "rd.html"
+        main(["-f", str(p), "--backend", "plotly", "-o", str(out)])
+        assert out.exists()
+        assert calls["scatters"] == [("model-a", [0.1, 0.3], [28.0, 32.0])]
+        assert calls["xlabel"] == "Bit-rate [bpp]"
+        assert calls["ylabel"] == "PSNR [dB]"
+
     def test_load_series(self, tmp_path):
         data = [{
             "name": "model-a",

@@ -303,8 +303,68 @@ class TestRGBTFileCodec:
             master_path, guide_path, bin_path, guided, master, 1, channel=1
         )
         assert size > 8 + 2 * 64 * 4  # header + beta/gamma floats
+        # the channel count comes from the container header; the factories
+        # must be called with it (not a CLI flag)
         codec_cli.decode_rgbt(
-            bin_path, guide_path, out_path, guided, master, channel=1
+            bin_path, guide_path, out_path,
+            lambda ch: guided if ch == 3 else None,
+            lambda ch: master if ch == 1 else None,
         )
         rec = np.asarray(Image.open(out_path))
         assert rec.shape == (64, 64)
+
+
+class TestPretrainedSafety:
+    def test_fetch_rejects_corrupted_download(self, tmp_path, monkeypatch):
+        """A downloaded checkpoint whose sha256 does not match the 8-hex
+        filename fragment must not be cached (ADVICE r2)."""
+        from lmic_tpu.zoo import urls
+
+        monkeypatch.setenv("LMIC_PRETRAINED_DIR", str(tmp_path))
+        url = urls.pretrained_url("bmshj2018-factorized", 1)
+        fname = url.rsplit("/", 1)[1]
+
+        def fake_retrieve(u, dst):
+            with open(dst, "wb") as f:
+                f.write(b"corrupted bytes")
+
+        import urllib.request
+
+        monkeypatch.setattr(urllib.request, "urlretrieve", fake_retrieve)
+        with pytest.raises(RuntimeError, match="sha256"):
+            urls.fetch_pretrained("bmshj2018-factorized", 1)
+        assert not (tmp_path / fname).exists()
+
+    def test_partial_coding_state_import_reports_failure(self):
+        """A checkpoint with EB tables but no gaussian-conditional buffers
+        must not report success on a hyperprior codec (ADVICE r2): the
+        caller needs to fall back to update(force=True)."""
+        import jax
+
+        from lmic_tpu import zoo
+        from lmic_tpu.zoo.pretrained import import_reference_coding_state
+
+        donor = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        donor.update(force=True)
+        state_dict = {
+            "entropy_bottleneck._quantized_cdf": donor.eb_state.table.cdf,
+            "entropy_bottleneck._cdf_length":
+                donor.eb_state.table.cdf_length,
+            "entropy_bottleneck._offset": donor.eb_state.table.offset,
+            "entropy_bottleneck.quantiles":
+                donor.eb_state.medians.reshape(-1, 1, 1).repeat(3, 2),
+        }
+        hyper = zoo.create_model(
+            "bmshj2018-hyperprior", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        assert import_reference_coding_state(state_dict, hyper) is False
+        # the factorized codec needs no GC state: same checkpoint imports
+        fac = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(1),
+            input_size=(64, 64),
+        )
+        assert import_reference_coding_state(state_dict, fac) is True
