@@ -294,6 +294,57 @@ class JointARCodec(CompressionCodec):
             list(pool.map(slot, range(n)))
         return out
 
+    def _params_on_scan_device(self, z_hat):
+        """Hyper params computed ON the device the wavefront scans run on.
+
+        Both codec sides call this same compiled graph, preserving
+        bit-identical scale bucketing — and when the scans are pinned to
+        the CPU device (tunnel TPU), it avoids fetching the full params
+        tensor from the TPU and re-uploading it (the params tensor is 2x
+        the y tensor; at B=4 Kodak size that is ~9 MB of f32 per batch
+        each way on a link with ~25 ms fixed cost per transfer)."""
+        fn = getattr(self, "_hyper_params_scan", None)
+        if fn is None:
+            dev, variables = self._ar_variables()
+            module = self.module
+            cls = type(module)
+            inner = jax.jit(
+                lambda z: module.apply(
+                    variables, z, method=cls.hyper_to_params
+                )
+            )
+            if dev is not None:
+                def fn(z, _inner=inner, _dev=dev):
+                    with jax.default_device(_dev):
+                        return _inner(jax.device_put(z, _dev))
+            else:
+                fn = inner
+            self._hyper_params_scan = fn
+        return fn(jnp.asarray(z_hat))
+
+    def _build_u8_io(self):
+        """uint8 pixel transfer fast path: pixels cross the host-device
+        link as 1 byte/px (4x thinner than f32 — the AR configs were
+        link-bound on degraded tunnel days). Normalization happens on the
+        transform device; the scan-side numerics are unchanged."""
+        module, variables = self.module, self.variables
+        cls = type(module)
+
+        def analyze_u8(x_u8):
+            return module.apply(
+                variables, x_u8.astype(jnp.float32) / 255.0,
+                method=cls.analyze,
+            )
+
+        def g_s_u8(y_hat):
+            x = jnp.clip(
+                module.apply(variables, y_hat, method=cls.g_s), 0.0, 1.0
+            )
+            return jnp.round(x * 255.0).astype(jnp.uint8)
+
+        self._analyze_u8_ar = jax.jit(analyze_u8)
+        self._g_s_u8 = jax.jit(g_s_u8)
+
     # -- state -----------------------------------------------------------------
     def update(self, force: bool = False, scale_table=None):
         if (
@@ -313,6 +364,9 @@ class JointARCodec(CompressionCodec):
         self.gc_state = GaussianConditional().update(scale_table)
         # cached wavefront scans captured the previous scale table
         self._encode_scan_cache.clear()
+        for name in ("_analyze_u8_ar", "_g_s_u8", "_hyper_params_scan"):
+            if hasattr(self, name):
+                delattr(self, name)
         return True
 
     def _check_updated(self):
@@ -390,13 +444,13 @@ class JointARCodec(CompressionCodec):
         C = z.shape[-1]
         medians = self.eb_state.medians.reshape((1, 1, 1, C))
         z_hat = np.round(z - medians) + medians
-        params = np.asarray(self._hyper_params(jnp.asarray(z_hat)))
+        params = self._params_on_scan_device(z_hat)  # stays on device
 
         B, H, W, M = y.shape
         scan = self._get_encode_scan(H, W)
 
         def encode_one(i, dev=None):
-            yi, pi = jnp.asarray(y[i]), jnp.asarray(params[i])
+            yi, pi = jnp.asarray(y[i]), params[i]
             if dev is not None:
                 yi = jax.device_put(yi, dev)
                 pi = jax.device_put(pi, dev)
@@ -422,8 +476,14 @@ class JointARCodec(CompressionCodec):
         import time
 
         self._check_updated()
+        x = np.asarray(x)
         t0 = time.perf_counter()
-        y, z = jax.device_get(self._analyze(jnp.asarray(x)))
+        if x.dtype == np.uint8:  # thin-transfer pixel ingest
+            if not hasattr(self, "_analyze_u8_ar"):
+                self._build_u8_io()
+            y, z = jax.device_get(self._analyze_u8_ar(jnp.asarray(x)))
+        else:
+            y, z = jax.device_get(self._analyze(jnp.asarray(x)))
         self._stat("enc_fetch_ms", t0)
         return self._code_y_z(np.asarray(y), np.asarray(z))
 
@@ -511,7 +571,7 @@ class JointARCodec(CompressionCodec):
         assert isinstance(strings, list) and len(strings) == 2
         y_strings, z_strings = strings[0], strings[1]
         z_hat = self.eb_state.decompress(z_strings, tuple(shape))
-        params = np.asarray(self._hyper_params(jnp.asarray(z_hat)))
+        params = self._params_on_scan_device(z_hat)  # stays on device
         H, W = shape[0] * 4, shape[1] * 4
         scan, decoder_box = self._get_decode_scan(H, W)
 
@@ -525,23 +585,28 @@ class JointARCodec(CompressionCodec):
         if self._fanout_devices and len(y_strings) > 1:
             def one(i, dev):
                 return np.asarray(scan(
-                    jax.device_put(jnp.asarray(params[i]), dev),
+                    jax.device_put(params[i], dev),
                     jax.device_put(jnp.int32(i), dev),
                 ))
 
             return np.stack(self._fanout_map(len(y_strings), one))
         return np.stack([
-            np.asarray(scan(jnp.asarray(params[i]), jnp.int32(i)))
+            np.asarray(scan(params[i], jnp.int32(i)))
             for i in range(len(y_strings))
         ])
 
-    def decompress(self, strings, shape):
+    def decompress(self, strings, shape, u8: bool = False):
         import time
 
         self._check_updated()
         t0 = time.perf_counter()
         y_hat = self._decode_y_hat(strings, shape)
         t0 = self._stat("dec_scan_ms", t0)
-        x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
+        if u8:  # thin-transfer pixel egress
+            if not hasattr(self, "_g_s_u8"):
+                self._build_u8_io()
+            x_hat = np.asarray(self._g_s_u8(jnp.asarray(y_hat)))
+        else:
+            x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
         self._stat("dec_fetch_ms", t0)
         return {"x_hat": x_hat}

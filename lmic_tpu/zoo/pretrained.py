@@ -354,8 +354,9 @@ def import_reference_state_dict(arch: str, state_dict: Dict[str, Any],
 
 
 _FAST_PATH_ATTRS = (
-    "_enc_u8", "_enc_u8_i8", "_dec_u8", "_analyze_u8",
-    "_params_from_zsym", "_ysym", "_synth_u8",
+    "_enc_u8", "_enc_u8_i8", "_enc_u8_packed", "_dec_u8", "_analyze_u8",
+    "_params_from_zsym", "_ysym", "_synth_u8", "_pack_enc",
+    "_analyze_u8_ar", "_g_s_u8", "_hyper_params_scan",
 )
 
 
