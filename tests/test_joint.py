@@ -99,3 +99,23 @@ class TestWavefrontRoundtrip:
         out = codec.compress(x)
         rec = codec.decompress(out["strings"], out["shape"])
         assert rec["x_hat"].shape == x.shape
+
+
+class TestU8PixelPath:
+    def test_u8_streams_match_float_path(self, codec):
+        """uint8 ingest (thin-transfer fast path) must produce
+        byte-identical streams to the float path on the same pixels, and
+        u8 egress the quantization of the float reconstruction."""
+        rng = np.random.default_rng(3)
+        x8 = (rng.random((2, 64, 64, 3)) * 255).astype(np.uint8)
+        out8 = codec.compress(x8)
+        outf = codec.compress(x8.astype(np.float32) / 255.0)
+        for g8, gf in zip(out8["strings"], outf["strings"]):
+            assert [bytes(s) for s in g8] == [bytes(s) for s in gf]
+        rec8 = codec.decompress(out8["strings"], out8["shape"], u8=True)
+        assert rec8["x_hat"].dtype == np.uint8
+        recf = codec.decompress(outf["strings"], outf["shape"])
+        np.testing.assert_array_equal(
+            rec8["x_hat"],
+            np.round(np.clip(recf["x_hat"], 0, 1) * 255).astype(np.uint8),
+        )

@@ -162,3 +162,33 @@ class TestDeploymentCheckpoint:
         np.testing.assert_array_equal(
             codec.decompress(s_a, sh_a), fresh.decompress(s_b, sh_b)
         )
+
+
+class TestFastPathEquivalence:
+    def test_gop_fast_path_matches_sync_path(self, codec):
+        """The whole-GOP single-fetch encode and two-sync decode must be
+        byte- and bit-identical to the reference-shaped per-frame loop
+        (the overflow fallback path), which shares every compiled graph."""
+        codec.update(force=True)
+        frames = jnp.asarray(
+            np.random.default_rng(9).random((1, 3, 128, 128, 3)),
+            jnp.float32,
+        )
+        s_fast, sh_fast = codec._compress_chunk(frames)
+        s_sync, sh_sync = codec._compress_chunk_sync(frames)
+        assert sh_fast == sh_sync
+
+        def flat(strs):
+            out = []
+            for fs in strs:
+                if isinstance(fs, dict):
+                    for k in ("motion", "residual"):
+                        out.extend(bytes(s) for grp in fs[k] for s in grp)
+                else:
+                    out.extend(bytes(s) for grp in fs for s in grp)
+            return out
+
+        assert flat(s_fast) == flat(s_sync)
+        rec_fast = codec._decompress_chunk(s_fast, sh_fast)
+        rec_sync = codec._decompress_chunk_sync(s_fast, sh_fast)
+        np.testing.assert_array_equal(rec_fast, rec_sync)
