@@ -653,6 +653,17 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             frames = self._ingest_u8(frames)
         return self._compress_chunk(frames)
 
+    def compress_async(self, frames):
+        """Dispatch the WHOLE GOP device chain and return a finalizer
+        running the single packed fetch + host rANS: the next GOP's device
+        work overlaps this GOP's host coding (bench.py pipelines this)."""
+        self._check_updated()
+        frames = jnp.asarray(np.asarray(frames))
+        if frames.dtype == jnp.uint8:
+            frames = self._ingest_u8(frames)
+        state = self._compress_chunk_dispatch(frames)
+        return lambda: self._compress_chunk_finish(frames, *state)
+
     def _compress_chunk(self, frames):
         """Whole-GOP encode with ONE device->host sync.
 
@@ -661,6 +672,11 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         on the host coder (y_hat derives from float symbols on device),
         then one packed fetch crosses the link and the host rANS-codes
         every stream. Replaces ~20 syncs per 3-frame GOP with 1."""
+        labels, parts, packed = self._compress_chunk_dispatch(frames)
+        return self._compress_chunk_finish(frames, labels, parts, packed)
+
+    def _compress_chunk_dispatch(self, frames):
+        """Enqueue the GOP device chain; zero host syncs."""
         sts = self.hp_states
         parts, labels = [], []
         y = self._img_encode(frames[:, 0])
@@ -684,8 +700,13 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             [(z8, idx, y8, zovf, yovf)
              for z8, idx, y8, _, zovf, yovf in parts]
         )
+        return labels, parts, packed
+
+    def _compress_chunk_finish(self, frames, labels, parts, packed):
+        """Fetch the packed buffer (ONE transfer) and host-code it."""
         import time
 
+        sts = self.hp_states
         t0 = time.perf_counter()
         buf = np.asarray(packed)  # the GOP's single device->host fetch
         t0 = self._stat("enc_fetch_ms", t0)
@@ -752,7 +773,8 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             return np.concatenate(self._chunk_map(B, one), axis=0)
         return self._decompress_chunk(strings, shapes, u8=u8)
 
-    def _decompress_chunk(self, strings, shapes, u8: bool = False):
+    def _decompress_chunk(self, strings, shapes, u8: bool = False,
+                          _async: bool = False):
         """Whole-GOP decode with TWO device->host syncs.
 
         The z streams are mutually independent, so phase 1 host-decodes
@@ -827,10 +849,27 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         stacked = jnp.stack(frames, axis=1)
         if u8:
             stacked = self._egress_u8(stacked)
+        if _async:
+            def fetch():
+                t1 = time.perf_counter()
+                out = np.asarray(stacked)
+                self._stat("dec_fetch_ms", t1)
+                return out
+
+            return fetch
         t1 = time.perf_counter()
         out = np.asarray(stacked)
         self._stat("dec_fetch_ms", t1)
         return out
+
+    def decompress_async(self, strings, shapes, u8: bool = True):
+        """Run the host halves of decode (z/y rANS, index fetch) inline
+        and return a finalizer that fetches the stacked pixels — a
+        pipelining caller overlaps this GOP's pixel download with the
+        next GOP's legs."""
+        self._check_updated()
+        out = self._decompress_chunk(strings, shapes, u8=u8, _async=True)
+        return out if callable(out) else (lambda: out)
 
     def _decompress_chunk_sync(self, strings, shapes, u8: bool = False):
         """Reference-shaped per-frame loop (fallback for symbol overflow)."""
