@@ -246,6 +246,7 @@ class FactorizedPriorCodec(CompressionCodec):
             self._build_u8_fns()
         x_dev = jnp.asarray(x)
         packed = self._enc_u8_packed(x_dev)  # async dispatch
+        packed.copy_to_host_async()  # download starts when compute ends
 
         return lambda: self._code_symbols(self._fetch_symbols(x_dev, packed))
 
@@ -492,6 +493,7 @@ class HyperpriorCodec(CompressionCodec):
         idx_dev, means_dev = self._params_from_zsym(z8)    # async, shared
         y8, y16, yovf = self._ysym(y_dev, means_dev)       # async
         packed = self._pack_enc(z8, idx_dev, y8, zovf, yovf)  # async
+        packed.copy_to_host_async()  # download starts when compute ends
         pending = (packed, y16)
         return lambda: self._finish_compress_u8(x, pending)
 
@@ -586,6 +588,7 @@ class HyperpriorCodec(CompressionCodec):
         z8 = z_sym.astype(np.int8)
         t0 = self._stat("dec_z_rans_ms", t0)
         idx_dev, means_dev = self._params_from_zsym(jnp.asarray(z8))
+        idx_dev.copy_to_host_async()
         idx = np.asarray(idx_dev, dtype=np.int32)
         t0 = self._stat("dec_idx_fetch_ms", t0)
         B = idx.shape[0]

@@ -472,20 +472,59 @@ class JointARCodec(CompressionCodec):
         self._stat("enc_scan_rans_ms", t0)
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
 
-    def compress(self, x):
+    def compress_async(self, x):
+        """Dispatch the transform-device half (analyze + its host copy)
+        and return a finalizer running the wavefront scans + host coder:
+        a pipelining caller overlaps the next batch's transforms and
+        transfers with this batch's (CPU-bound) scans."""
         import time
 
         self._check_updated()
         x = np.asarray(x)
-        t0 = time.perf_counter()
         if x.dtype == np.uint8:  # thin-transfer pixel ingest
             if not hasattr(self, "_analyze_u8_ar"):
                 self._build_u8_io()
-            y, z = jax.device_get(self._analyze_u8_ar(jnp.asarray(x)))
+            pending = self._analyze_u8_ar(jnp.asarray(x))
         else:
-            y, z = jax.device_get(self._analyze(jnp.asarray(x)))
-        self._stat("enc_fetch_ms", t0)
-        return self._code_y_z(np.asarray(y), np.asarray(z))
+            pending = self._analyze(jnp.asarray(x))
+        for a in pending:  # start the device->host copies eagerly
+            a.copy_to_host_async()
+
+        def finalize():
+            t0 = time.perf_counter()
+            y, z = jax.device_get(pending)
+            self._stat("enc_fetch_ms", t0)
+            return self._code_y_z(np.asarray(y), np.asarray(z))
+
+        return finalize
+
+    def compress(self, x):
+        return self.compress_async(x)()
+
+    def decompress_async(self, strings, shape, u8: bool = True):
+        """Run the (serial) decode scans inline, dispatch the synthesis
+        transform, and return a finalizer fetching the pixels — the
+        download overlaps the next batch's work when pipelined."""
+        import time
+
+        self._check_updated()
+        t0 = time.perf_counter()
+        y_hat = self._decode_y_hat(strings, shape)
+        t0 = self._stat("dec_scan_ms", t0)
+        if u8:
+            if not hasattr(self, "_g_s_u8"):
+                self._build_u8_io()
+            x_dev = self._g_s_u8(jnp.asarray(y_hat))
+        else:
+            x_dev = self._g_s(jnp.asarray(y_hat))
+
+        def finalize():
+            t1 = time.perf_counter()
+            out = np.asarray(x_dev)
+            self._stat("dec_fetch_ms", t1)
+            return {"x_hat": out}
+
+        return finalize
 
     # -- decode ------------------------------------------------------------
     def _get_decode_scan(self, H: int, W: int):
@@ -596,17 +635,4 @@ class JointARCodec(CompressionCodec):
         ])
 
     def decompress(self, strings, shape, u8: bool = False):
-        import time
-
-        self._check_updated()
-        t0 = time.perf_counter()
-        y_hat = self._decode_y_hat(strings, shape)
-        t0 = self._stat("dec_scan_ms", t0)
-        if u8:  # thin-transfer pixel egress
-            if not hasattr(self, "_g_s_u8"):
-                self._build_u8_io()
-            x_hat = np.asarray(self._g_s_u8(jnp.asarray(y_hat)))
-        else:
-            x_hat = np.asarray(self._g_s(jnp.asarray(y_hat)))
-        self._stat("dec_fetch_ms", t0)
-        return {"x_hat": x_hat}
+        return self.decompress_async(strings, shape, u8=u8)()

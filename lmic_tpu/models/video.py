@@ -662,6 +662,7 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         if frames.dtype == jnp.uint8:
             frames = self._ingest_u8(frames)
         state = self._compress_chunk_dispatch(frames)
+        state[2].copy_to_host_async()  # download starts when compute ends
         return lambda: self._compress_chunk_finish(frames, *state)
 
     def _compress_chunk(self, frames):
@@ -811,7 +812,9 @@ class ScaleSpaceFlowCodec(CompressionCodec):
             sts[label]._params_from_zsym(z_all[k])
             for k, label in enumerate(labels)
         ]
-        idx_buf = np.asarray(self._cat_u8([idx for idx, _ in pm]))  # 1 sync
+        idx_cat = self._cat_u8([idx for idx, _ in pm])
+        idx_cat.copy_to_host_async()
+        idx_buf = np.asarray(idx_cat)  # 1 sync
         t0 = self._stat("dec_idx_fetch_ms", t0)
         y_syms = []
         off = 0
