@@ -658,7 +658,11 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         running the single packed fetch + host rANS: the next GOP's device
         work overlaps this GOP's host coding (bench.py pipelines this)."""
         self._check_updated()
-        frames = jnp.asarray(np.asarray(frames))
+        frames = np.asarray(frames)
+        if self._fanout_devices and frames.shape[0] > 1:
+            out = self.compress(frames)  # multi-sequence: chunked fan-out
+            return lambda: out
+        frames = jnp.asarray(frames)
         if frames.dtype == jnp.uint8:
             frames = self._ingest_u8(frames)
         state = self._compress_chunk_dispatch(frames)
@@ -871,6 +875,9 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         pipelining caller overlaps this GOP's pixel download with the
         next GOP's legs."""
         self._check_updated()
+        if self._fanout_devices and len(strings[0][0]) > 1:
+            out = self.decompress(strings, shapes, u8=u8)  # chunked fan-out
+            return lambda: out
         out = self._decompress_chunk(strings, shapes, u8=u8, _async=True)
         return out if callable(out) else (lambda: out)
 

@@ -111,6 +111,30 @@ class TestFanout:
         finally:
             codec._fanout_devices = None
 
+    def test_async_with_fanout_matches_single_device(self, codec):
+        """compress_async/decompress_async on a fanned-out codec must
+        route multi-sequence batches through the chunked fan-out path
+        (the async GOP pipeline is single-sequence by design) and stay
+        bit-equal to the single-device sync path."""
+        from lmic_tpu.parallel import make_mesh, shard_codec
+
+        codec.update()
+        frames = np.asarray(
+            jax.random.uniform(jax.random.key(13), (2, 2, 128, 128, 3))
+        )
+        single_strings, single_shapes = codec.compress(frames)
+        rec_single = codec.decompress(single_strings, single_shapes)
+
+        shard_codec(codec, make_mesh(2))
+        try:
+            fan_strings, fan_shapes = codec.compress_async(frames)()
+            assert fan_strings == single_strings
+            assert fan_shapes == single_shapes
+            rec_fan = codec.decompress_async(fan_strings, fan_shapes, u8=False)()
+            np.testing.assert_array_equal(rec_fan, rec_single)
+        finally:
+            codec._fanout_devices = None
+
 
 class TestU8PixelPath:
     def test_u8_matches_f32_path(self, codec):
