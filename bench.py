@@ -390,7 +390,12 @@ def main():
             # the GDN Pallas kernel is the one platform-specific compile in
             # the warmups; fall back to the pure-XLA GDN for THIS config
             # only and retry (the geomean must not silently change backend
-            # for later configs — ADVICE r2)
+            # for later configs — ADVICE r2). No point retrying identically
+            # when Pallas was already off.
+            if pallas_before == "0":
+                print(f"{name} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+                return None
             print(f"{name} failed ({type(e).__name__}: {e}); retrying "
                   "with LMIC_PALLAS=0", file=sys.stderr)
             os.environ["LMIC_PALLAS"] = "0"

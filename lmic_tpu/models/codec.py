@@ -81,6 +81,23 @@ class CompressionCodec:
             self.variables, method=type(self.module).aux_loss
         )
 
+    def _check_dims(self, x: np.ndarray):
+        """Hyperprior-family streams only roundtrip when H, W are multiples
+        of the downsampling factor: the decoder re-derives the y-latent
+        geometry by upsampling z 4x (h_s), so ceil-divided encode shapes
+        desync otherwise. The reference has the same constraint but fails
+        silently with a corrupted stream (its CLIs pad first — ours do too:
+        codec_cli/eval_model pad centered); fail loudly here instead."""
+        factor = getattr(self.module, "downsampling_factor", None)
+        if factor is None:
+            return
+        H, W = x.shape[1:3]
+        if H % factor or W % factor:
+            raise ValueError(
+                f"input spatial dims ({H}, {W}) must be multiples of "
+                f"{factor}; pad first (CLIs use centered padding)"
+            )
+
     # -- coding state ----------------------------------------------------------
     def update(self, force: bool = False):
         raise NotImplementedError
@@ -144,7 +161,7 @@ class FactorizedPriorCodec(CompressionCodec):
             eb, {"params": self.variables["params"]["entropy_bottleneck"]}
         )
         # the u8 fast-path jits capture medians from the previous state
-        for name in ("_enc_u8", "_enc_u8_i8", "_enc_u8_packed", "_dec_u8"):
+        for name in ("_enc_u8", "_enc_u8_packed", "_dec_u8"):
             if hasattr(self, name):
                 delattr(self, name)
         return True
@@ -193,13 +210,14 @@ class FactorizedPriorCodec(CompressionCodec):
             )
             return jnp.round(x * 255.0).astype(jnp.uint8)
 
-        self._enc_u8_i8 = jax.jit(enc8)
         self._enc_u8_packed = jax.jit(enc_packed)
         self._enc_u8 = jax.jit(enc16)
         self._dec_u8 = jax.jit(dec)       # int8 and int16 callers share it
 
     def _latent_shape(self, B, H, W):
-        return (B, self.module.M, H // 16, W // 16)
+        # stride-2 convs emit ceil(H/2) per stage (layers.py conv padding),
+        # and nested ceil-divisions compose: 4 stages -> ceil(H/16)
+        return (B, self.module.M, -(-H // 16), -(-W // 16))
 
     def _fetch_symbols(self, x_dev, packed):
         """ONE device->host fetch resolves flag + symbols; on the rare int8
@@ -449,6 +467,7 @@ class HyperpriorCodec(CompressionCodec):
     def compress(self, x):
         self._check_updated()
         x = np.asarray(x)
+        self._check_dims(x)
         if x.dtype == np.uint8:
             return self._compress_u8(x)
         y, z = jax.device_get(self._analyze(jnp.asarray(x)))
@@ -485,6 +504,7 @@ class HyperpriorCodec(CompressionCodec):
         batch's coding."""
         self._check_updated()
         x = np.asarray(x)
+        self._check_dims(x)
         assert x.dtype == np.uint8, "compress_async: uint8 fast path only"
         if not hasattr(self, "_analyze_u8"):
             self._build_u8_fns()
@@ -498,8 +518,10 @@ class HyperpriorCodec(CompressionCodec):
         return lambda: self._finish_compress_u8(x, pending)
 
     def _latent_shapes(self, B, H, W):
+        # ceil division: the conv stacks emit ceil(H/2) per stride-2 stage
         m = self.module
-        return (B, m.N, H // 64, W // 64), (B, m.M, H // 16, W // 16)
+        return ((B, m.N, -(-H // 64), -(-W // 64)),
+                (B, m.M, -(-H // 16), -(-W // 16)))
 
     def _finish_compress_u8(self, x: np.ndarray, pending):
         import time

@@ -244,11 +244,6 @@ class JointARCodec(CompressionCodec):
         self._analyze = jax.jit(
             lambda x: module.apply(variables, x, method=cls.analyze)
         )
-        self._hyper_params = jax.jit(
-            lambda z_hat: module.apply(
-                variables, z_hat, method=cls.hyper_to_params
-            )
-        )
         self._g_s = jax.jit(
             lambda y_hat: jnp.clip(
                 module.apply(variables, y_hat, method=cls.g_s), 0.0, 1.0
@@ -481,6 +476,7 @@ class JointARCodec(CompressionCodec):
 
         self._check_updated()
         x = np.asarray(x)
+        self._check_dims(x)
         if x.dtype == np.uint8:  # thin-transfer pixel ingest
             if not hasattr(self, "_analyze_u8_ar"):
                 self._build_u8_io()

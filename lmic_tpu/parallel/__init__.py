@@ -81,7 +81,6 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
     # per-jit input shardings: batch-dim arrays shard over `axis`, scalars
     # (overflow counters) replicate
     specs = {
-        "_enc_u8_i8": (data,),
         "_enc_u8": (data,),
         "_enc_u8_packed": (data,),
         "_dec_u8": (data,),

@@ -26,7 +26,14 @@ from PIL import Image
 
 from lmic_tpu import zoo
 
-MAGIC = 0x1C1C
+# Container format magic doubles as a layout version: bump it whenever the
+# header layout changes so files written by an older lmic-codec are REJECTED
+# ("invalid file") instead of silently misparsed. 0x1C1D: RGBT header grew a
+# master-channel byte and padding switched to centered (reference convention).
+MAGIC = 0x1C1D
+# previous layouts, recognized only to fail loudly (the auto-detect would
+# otherwise misparse them as reference-container files)
+RETIRED_MAGICS = {0x1C1C}
 MODEL_IDS = {
     "bmshj2018-factorized": 0,
     "bmshj2018-hyperprior": 1,
@@ -169,69 +176,18 @@ def decode_image_ref(f, output_path, make_codec, arch, quality):
 
 def encode_video_ref(input_path, output_path, codec, quality, metric="mse",
                      num_frames: int = -1):
-    """Reference video container (codec_rgbt.py:389-450): header + per
-    frame write_body calls, frames padded centered to 128."""
-    from lmic_tpu.datasets.rawvideo import RawVideoSequence, VideoFormat
-    from lmic_tpu.utils.video_eval import pad_frames, yuv420_frame_to_rgb
-
-    seq = RawVideoSequence.from_file(str(input_path))
-    if seq.video_format != VideoFormat.YUV420:
-        raise NotImplementedError(f"unsupported format: {seq.video_format}")
-    n = len(seq) if num_frames < 0 else min(num_frames, len(seq))
-    with open(output_path, "wb") as f:
-        write_uchars(f, (REF_MODEL_IDS["ssf2020"],
-                         (METRIC_IDS[metric] << 4) | (quality - 1)))
-        write_uints(f, (seq.height, seq.width))
-        write_uchars(f, (seq.bitdepth,))
-        write_uints(f, (n,))
-        x_ref = None
-        for i in range(n):
-            x, _ = pad_frames(yuv420_frame_to_rgb(seq[i], seq.bitdepth),
-                              p=128)
-            if i == 0:
-                x_ref, out = codec.encode_keyframe(x)
-                write_body_ref(f, out["shape"], out["strings"])
-            else:
-                x_ref, out = codec.encode_inter(x, x_ref)
-                for part in ("motion", "residual"):
-                    write_body_ref(f, out["shape"][part],
-                                   out["strings"][part])
-            x_ref = np.clip(np.asarray(x_ref), 0.0, 1.0)
-    seq.close()
-    return Path(output_path).stat().st_size
+    """Reference video container (codec_rgbt.py:389-450): the reference's
+    bare header (no magic) + write_body_ref frame bodies; the frame loop is
+    shared with encode_video."""
+    return encode_video(input_path, output_path, codec, quality, metric,
+                        num_frames, container="reference")
 
 
 def decode_video_ref(f, output_path, make_codec, quality):
-    """Mirror of encode_video_ref / the reference's decode_video."""
-    H, W = read_uints(f, 2)
-    (bitdepth,) = read_uchars(f, 1)
-    (n,) = read_uints(f, 1)
-    codec = make_codec("ssf2020", quality)
-    out_is_yuv = str(output_path).endswith(".yuv")
-    x_ref = None
-    img = None
-    for i in range(n):
-        if i == 0:
-            shape, strings = read_body_ref(f)
-            x_ref = codec.decode_keyframe(strings, shape)
-        else:
-            mshape, mstrings = read_body_ref(f)
-            rshape, rstrings = read_body_ref(f)
-            x_ref = codec.decode_inter(
-                x_ref,
-                {"motion": mstrings, "residual": rstrings},
-                {"motion": mshape, "residual": rshape},
-            )
-        x_ref = np.clip(np.asarray(x_ref), 0.0, 1.0)
-        img = crop_center(x_ref, H, W)
-        if out_is_yuv:
-            y, u, v = _rgb_to_yuv420_planes(img, bitdepth)
-            with open(output_path, "wb" if i == 0 else "ab") as fout:
-                for plane in (y, u, v):
-                    plane.tofile(fout)
-    if not out_is_yuv and img is not None:
-        _save(img, output_path)
-    return n
+    """Mirror of encode_video_ref / the reference's decode_video; shares
+    the frame loop with decode_video."""
+    return decode_video(f, output_path, make_codec, quality,
+                        body_reader=read_body_ref)
 
 
 def _load(path, channel=3):
@@ -356,20 +312,25 @@ def decode_rgbt(input_path, guide_path, output_path, build_guided,
 
 
 def encode_video(input_path, output_path, codec, quality, metric="mse",
-                 num_frames: int = -1):
+                 num_frames: int = -1, container: str = "native"):
     """ssf2020 file coding on a raw YUV420 sequence: one reference chain
     over the whole sequence — keyframe body, then per inter frame one
-    body for motion and one for residual (codec_rgbt.py:389-450)."""
+    body for motion and one for residual (codec_rgbt.py:389-450).
+    container="reference" writes the reference's bare header + body layout
+    (byte-compatible with its decode_video) instead of ours."""
     from lmic_tpu.datasets.rawvideo import RawVideoSequence, VideoFormat
     from lmic_tpu.utils.video_eval import pad_frames, yuv420_frame_to_rgb
 
+    ref = container == "reference"
+    body_writer = write_body_ref if ref else write_body
     seq = RawVideoSequence.from_file(str(input_path))
     if seq.video_format != VideoFormat.YUV420:
         raise NotImplementedError(f"unsupported format: {seq.video_format}")
     n = len(seq) if num_frames < 0 else min(num_frames, len(seq))
     with open(output_path, "wb") as f:
-        write_uints(f, (MAGIC,))
-        write_uchars(f, (MODEL_IDS["ssf2020"],
+        if not ref:
+            write_uints(f, (MAGIC,))
+        write_uchars(f, ((REF_MODEL_IDS if ref else MODEL_IDS)["ssf2020"],
                          (METRIC_IDS[metric] << 4) | (quality - 1)))
         write_uints(f, (seq.height, seq.width))
         write_uchars(f, (seq.bitdepth,))
@@ -380,11 +341,11 @@ def encode_video(input_path, output_path, codec, quality, metric="mse",
                               p=128)
             if i == 0:
                 x_ref, out = codec.encode_keyframe(x)
-                write_body(f, out["shape"], out["strings"])
+                body_writer(f, out["shape"], out["strings"])
             else:
                 x_ref, out = codec.encode_inter(x, x_ref)
                 for part in ("motion", "residual"):
-                    write_body(f, out["shape"][part], out["strings"][part])
+                    body_writer(f, out["shape"][part], out["strings"][part])
             x_ref = np.clip(np.asarray(x_ref), 0.0, 1.0)
     seq.close()
     return Path(output_path).stat().st_size
@@ -408,9 +369,12 @@ def _rgb_to_yuv420_planes(rgb, bitdepth=8):
     )
 
 
-def decode_video(f, output_path, make_codec, quality):
+def decode_video(f, output_path, make_codec, quality,
+                 body_reader=read_body):
     """Mirror of encode_video; writes the reconstruction back as raw
-    YUV420 (or the last frame as an image for non-.yuv outputs)."""
+    YUV420 (or the last frame as an image for non-.yuv outputs).
+    `body_reader` selects the container body layout (read_body_ref for
+    reference-written files)."""
     H, W = read_uints(f, 2)
     (bitdepth,) = read_uchars(f, 1)
     (n,) = read_uints(f, 1)
@@ -420,11 +384,11 @@ def decode_video(f, output_path, make_codec, quality):
     img = None
     for i in range(n):
         if i == 0:
-            shape, strings = read_body(f)
+            shape, strings = body_reader(f)
             x_ref = codec.decode_keyframe(strings, shape)
         else:
-            mshape, mstrings = read_body(f)
-            rshape, rstrings = read_body(f)
+            mshape, mstrings = body_reader(f)
+            rshape, rstrings = body_reader(f)
             x_ref = codec.decode_inter(
                 x_ref,
                 {"motion": mstrings, "residual": rstrings},
@@ -542,7 +506,13 @@ def main(argv=None):
         # bytes parse as (h, w) far below the magic value
         with open(args.input, "rb") as f:
             head = f.read(4)
-        ours = len(head) == 4 and struct.unpack(">I", head)[0] == MAGIC
+        word = struct.unpack(">I", head)[0] if len(head) == 4 else None
+        if word in RETIRED_MAGICS:
+            raise SystemExit(
+                f"{args.input}: written by an older lmic-codec container "
+                f"version (magic 0x{word:04X}); re-encode with this version"
+            )
+        ours = word == MAGIC
         if ours:
             with open(args.input, "rb") as f:
                 read_uints(f, 1)

@@ -354,7 +354,7 @@ def import_reference_state_dict(arch: str, state_dict: Dict[str, Any],
 
 
 _FAST_PATH_ATTRS = (
-    "_enc_u8", "_enc_u8_i8", "_enc_u8_packed", "_dec_u8", "_analyze_u8",
+    "_enc_u8", "_enc_u8_packed", "_dec_u8", "_analyze_u8",
     "_params_from_zsym", "_ysym", "_synth_u8", "_pack_enc",
     "_analyze_u8_ar", "_g_s_u8", "_hyper_params_scan",
 )
@@ -392,6 +392,18 @@ def import_reference_coding_state(state_dict: Dict[str, Any], codec,
     quantiles = buf(f"{eb_prefix}.quantiles")
     if eb_cdf is None or quantiles is None:
         return False
+    gc_cdf = buf(f"{gc_prefix}._quantized_cdf")
+    if gc_cdf is None:
+        # a codec with a gaussian-conditional stage is only partially
+        # importable from this checkpoint: reporting success would leave
+        # gc_state=None and fail later with a misleading 'Uninitialized
+        # CDFs' — tell the caller to fall back to update(force=True).
+        # Checked BEFORE any mutation so failure is side-effect-free (no
+        # half-imported eb_state paired with stale fast-path jits).
+        from lmic_tpu.models.codec import FactorizedPriorCodec
+
+        if not isinstance(codec, FactorizedPriorCodec):
+            return False
     codec.eb_state = EBState(
         table=CdfTable(
             eb_cdf.astype(np.int32),
@@ -400,17 +412,7 @@ def import_reference_coding_state(state_dict: Dict[str, Any], codec,
         ),
         medians=quantiles[:, 0, 1].astype(np.float32),
     )
-    gc_cdf = buf(f"{gc_prefix}._quantized_cdf")
-    if gc_cdf is None:
-        # a codec with a gaussian-conditional stage is only partially
-        # importable from this checkpoint: reporting success would leave
-        # gc_state=None and fail later with a misleading 'Uninitialized
-        # CDFs' — tell the caller to fall back to update(force=True)
-        from lmic_tpu.models.codec import FactorizedPriorCodec
-
-        if not isinstance(codec, FactorizedPriorCodec):
-            return False
-    else:
+    if gc_cdf is not None:
         codec.gc_state = GCState(
             table=CdfTable(
                 gc_cdf.astype(np.int32),

@@ -52,7 +52,8 @@ class TestWavefrontRoundtrip:
         C = z.shape[-1]
         medians = codec.eb_state.medians.reshape((1, 1, 1, C))
         z_hat = np.round(z - medians) + medians
-        params = np.asarray(codec._hyper_params(jnp.asarray(z_hat)))
+        # same compiled graph the codec's own two sides use
+        params = np.asarray(codec._params_on_scan_device(jnp.asarray(z_hat)))
 
         H, W = y.shape[1:3]
         scan = codec._get_encode_scan(H, W)

@@ -175,9 +175,9 @@ class TestInt8SymbolFallback:
         x = (np.random.default_rng(0).random((1, 64, 64, 3)) * 255
              ).astype(np.uint8)
         x_dev = jnp.asarray(x)
-        sym8, ovf = codec._enc_u8_i8(x_dev)
-        assert int(ovf) == 0
-        got = codec._fetch_symbols(x_dev, codec._enc_u8_packed(x_dev))
+        packed = codec._enc_u8_packed(x_dev)
+        assert int(np.asarray(packed)[0]) == 0  # overflow flag clear
+        got = codec._fetch_symbols(x_dev, packed)
         assert got.dtype == np.int8  # no-overflow path stays on the wire dtype
         true16 = np.asarray(codec._enc_u8(x_dev))
         np.testing.assert_array_equal(got, true16)
@@ -206,6 +206,36 @@ class TestHyperpriorU8FastPath:
         assert out8["strings"][1] == outf["strings"][1]
         want = np.round(np.clip(recf["x_hat"], 0, 1) * 255).astype(np.uint8)
         np.testing.assert_array_equal(rec8["x_hat"], want)
+
+
+class TestNonMultipleDims:
+    def test_factorized_u8_path_handles_non_multiple_of_16(self):
+        """The conv stacks emit ceil(H/2) per stride-2 stage, so a 72x40
+        input yields 5x3 latents — the packed single-fetch encode must
+        unpack with the same ceil-division geometry (it used to floor)."""
+        codec = _make("bmshj2018-factorized", size=(72, 40))
+        codec.update(force=True)
+        x8 = (np.random.default_rng(1).random((1, 72, 40, 3)) * 255
+              ).astype(np.uint8)
+        out8 = codec.compress(x8)
+        assert tuple(out8["shape"]) == (5, 3)  # ceil(72/16), ceil(40/16)
+        xf = x8.astype(np.float32) / 255.0
+        outf = codec.compress(xf)
+        assert out8["strings"][0] == outf["strings"][0]
+        rec = codec.decompress(out8["strings"], out8["shape"])
+        assert rec["x_hat"].shape == (1, 80, 48, 3)  # latent * 16
+
+    def test_hyperprior_rejects_non_multiple_of_64(self):
+        """The hyperprior decoder re-derives the y geometry by upsampling z
+        4x, so non-64-multiple inputs would silently desync encode/decode
+        (the reference corrupts streams in this case; we raise)."""
+        codec = _make("bmshj2018-hyperprior", size=(64, 64))
+        codec.update(force=True)
+        bad = np.zeros((1, 72, 64, 3), np.float32)
+        with pytest.raises(ValueError, match="multiples of 64"):
+            codec.compress(bad)
+        with pytest.raises(ValueError, match="multiples of 64"):
+            codec.compress((bad * 255).astype(np.uint8))
 
 
 class TestUpdateInvalidation:
