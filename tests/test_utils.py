@@ -175,6 +175,23 @@ class TestCodecContainer:
         rec = np.asarray(Image.open(out_path))
         assert rec.shape == (96, 80, 3)
 
+    def test_retired_magic_rejected(self, tmp_path):
+        """A file with a previous container-layout magic must fail loudly,
+        not fall through the auto-detect into the reference-container
+        parse (which would misread the header)."""
+        import struct
+
+        import pytest
+
+        from lmic_tpu.utils import codec_cli
+
+        path = str(tmp_path / "old.bin")
+        with open(path, "wb") as f:
+            f.write(struct.pack(">I", 0x1C1C))  # retired layout version
+            f.write(b"\x00" * 32)
+        with pytest.raises(SystemExit, match="older lmic-codec container"):
+            codec_cli.main(["decode", path, "-o", str(tmp_path / "r.png")])
+
 
 class TestProfiling:
     def test_timings_sections(self):
