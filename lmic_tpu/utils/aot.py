@@ -1,0 +1,254 @@
+"""AOT serving bundles: `jax.export`-serialized codec inference graphs.
+
+A deployment capability with no reference counterpart (the closest analogue
+is its TorchScript support, tests/test_scripting.py, which cannot script
+the codec path at all): `export_serving_bundle` freezes an updated codec's
+uint8 fast-path device graphs — already shape-specialized, compiled-once
+jits — into serialized StableHLO artifacts plus the baked integer coding
+tables, and `load_serving_bundle` reconstitutes a working codec from the
+bundle WITHOUT flax, model code, or weights. The loaded codec serves
+`compress/compress_async/decompress/decompress_async` on the uint8 fast
+path bit-identically to the live codec (tests/test_aot.py), so a serving
+fleet can ship one directory per (arch, quality, shape) and never import
+the model zoo.
+
+Supported: the factorized + hyperprior family (the non-AR image codecs).
+The AR wavefront decode streams symbols through `io_callback`, which
+`jax.export` cannot serialize (tests/test_export.py pins this boundary).
+
+Bundle layout:
+    meta.json   format version, family, (B, H, W, C), N/M widths, fn list
+    state.npz   EB/GC integer CDF tables, medians, scale table
+    fns/*.bin   one serialized `jax.export.Exported` per device graph
+                (dtype-variant graphs get a `__i8`/`__i16` suffix)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FORMAT_VERSION = 1
+
+__all__ = ["export_serving_bundle", "load_serving_bundle"]
+
+
+def _family(codec) -> str:
+    from lmic_tpu.models.codec import FactorizedPriorCodec, HyperpriorCodec
+
+    if isinstance(codec, FactorizedPriorCodec):
+        return "factorized"
+    if isinstance(codec, HyperpriorCodec):
+        return "hyperprior"
+    raise ValueError(
+        f"{type(codec).__name__} is not AOT-exportable: only the "
+        "factorized/hyperprior family has callback-free codec graphs "
+        "(the AR decode wavefront streams host symbols via io_callback)"
+    )
+
+
+def _plan(codec, family, x_spec):
+    """(fn, arg_specs) per export, chained through jax.eval_shape so every
+    intermediate spec matches the live pipeline exactly."""
+    if family == "factorized":
+        sym16 = jax.eval_shape(codec._enc_u8, x_spec)
+        sym8 = jax.ShapeDtypeStruct(sym16.shape, jnp.int8)
+        return {
+            "_enc_u8_packed": (codec._enc_u8_packed, (x_spec,)),
+            "_enc_u8": (codec._enc_u8, (x_spec,)),
+            "_dec_u8__i8": (codec._dec_u8, (sym8,)),
+            "_dec_u8__i16": (codec._dec_u8, (sym16,)),
+        }
+    y, z8, zovf = jax.eval_shape(codec._analyze_u8, x_spec)
+    idx, means = jax.eval_shape(codec._params_from_zsym, z8)
+    y8, y16, yovf = jax.eval_shape(codec._ysym, y, means)
+    return {
+        "_analyze_u8": (codec._analyze_u8, (x_spec,)),
+        "_params_from_zsym": (codec._params_from_zsym, (z8,)),
+        "_ysym": (codec._ysym, (y, means)),
+        "_pack_enc": (codec._pack_enc, (z8, idx, y8, zovf, yovf)),
+        "_synth_u8__i8": (codec._synth_u8, (y8, means)),
+        "_synth_u8__i16": (codec._synth_u8, (y16, means)),
+    }
+
+
+def export_serving_bundle(codec, out_dir, input_shape) -> str:
+    """Serialize `codec`'s uint8 fast-path graphs for `input_shape`
+    (B, H, W, C) into `out_dir`. The codec must be `update()`d; the graphs
+    are exported exactly as the live codec built them, so the bundle codes
+    bit-identical streams."""
+    from jax import export as jexport
+
+    codec._check_updated()
+    family = _family(codec)
+    B, H, W, C = map(int, input_shape)
+    if family == "hyperprior" and (H % 64 or W % 64):
+        raise ValueError("hyperprior bundles need 64-multiple H, W")
+    if not hasattr(codec, "_enc_u8" if family == "factorized"
+                   else "_analyze_u8"):
+        codec._build_u8_fns()
+    x_spec = jax.ShapeDtypeStruct((B, H, W, C), jnp.uint8)
+
+    os.makedirs(os.path.join(out_dir, "fns"), exist_ok=True)
+    fn_names = []
+    for name, (fn, specs) in _plan(codec, family, x_spec).items():
+        blob = jexport.export(fn)(*specs).serialize()
+        with open(os.path.join(out_dir, "fns", name + ".bin"), "wb") as f:
+            f.write(blob)
+        fn_names.append(name)
+
+    state: Dict[str, Any] = {
+        "eb_cdf": codec.eb_state.table.cdf,
+        "eb_cdf_length": codec.eb_state.table.cdf_length,
+        "eb_offset": codec.eb_state.table.offset,
+        "eb_medians": np.asarray(codec.eb_state.medians),
+    }
+    if codec.gc_state is not None:
+        state.update(
+            gc_cdf=codec.gc_state.table.cdf,
+            gc_cdf_length=codec.gc_state.table.cdf_length,
+            gc_offset=codec.gc_state.table.offset,
+            gc_scale_table=np.asarray(codec.gc_state.scale_table),
+        )
+    np.savez(os.path.join(out_dir, "state.npz"), **state)
+
+    meta = {
+        "format": FORMAT_VERSION,
+        "family": family,
+        "input_shape": [B, H, W, C],
+        "N": int(getattr(codec.module, "N", 0)),
+        "M": int(getattr(codec.module, "M", 0)),
+        "downsampling_factor": int(
+            getattr(codec.module, "downsampling_factor", 0)
+        ),
+        "fns": fn_names,
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+    return out_dir
+
+
+class _ModuleShim:
+    """Width metadata the codec host logic reads off `self.module`."""
+
+    def __init__(self, N, M, downsampling_factor):
+        self.N = N
+        self.M = M
+        if downsampling_factor:
+            self.downsampling_factor = downsampling_factor
+
+
+def _frozen(*_a, **_k):
+    raise RuntimeError(
+        "AOT serving bundle: graphs are frozen at export; rebuild the "
+        "bundle from the live codec instead"
+    )
+
+
+def load_serving_bundle(path):
+    """Reconstitute a serving codec from an exported bundle. Returns a
+    `FactorizedPriorCodec`/`HyperpriorCodec` instance whose device graphs
+    are the deserialized exports — uint8 fast path only, fixed to the
+    bundle's (B, H, W, C)."""
+    from jax import export as jexport
+
+    from lmic_tpu.entropy.coder import CdfTable
+    from lmic_tpu.entropy.entropy_models import (
+        EBState, GaussianConditional, GCState,
+    )
+    from lmic_tpu.models.codec import (
+        CompressionCodec, FactorizedPriorCodec, HyperpriorCodec,
+    )
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["format"] != FORMAT_VERSION:
+        raise ValueError(
+            f"bundle format {meta['format']} != supported {FORMAT_VERSION}"
+        )
+    fns = {}
+    for name in meta["fns"]:
+        with open(os.path.join(path, "fns", name + ".bin"), "rb") as f:
+            fns[name] = jexport.deserialize(f.read()).call
+    state = np.load(os.path.join(path, "state.npz"))
+
+    family = meta["family"]
+    cls = (FactorizedPriorCodec if family == "factorized"
+           else HyperpriorCodec)
+    codec = object.__new__(cls)
+    CompressionCodec.__init__(
+        codec,
+        _ModuleShim(meta["N"], meta["M"], meta["downsampling_factor"]),
+        None,
+    )
+    codec.eb_state = EBState(
+        table=CdfTable(state["eb_cdf"], state["eb_cdf_length"],
+                       state["eb_offset"]),
+        medians=state["eb_medians"],
+    )
+    if "gc_cdf" in state:
+        codec.gc_state = GCState(
+            table=CdfTable(state["gc_cdf"], state["gc_cdf_length"],
+                           state["gc_offset"]),
+            scale_table=state["gc_scale_table"],
+            gc=GaussianConditional(),
+        )
+
+    if family == "factorized":
+        codec._enc_u8_packed = fns["_enc_u8_packed"]
+        codec._enc_u8 = fns["_enc_u8"]
+        dec8, dec16 = fns["_dec_u8__i8"], fns["_dec_u8__i16"]
+        codec._dec_u8 = (
+            lambda s: dec8(s) if s.dtype == jnp.int8 else dec16(s)
+        )
+    else:
+        codec._analyze_u8 = fns["_analyze_u8"]
+        codec._params_from_zsym = fns["_params_from_zsym"]
+        codec._ysym = fns["_ysym"]
+        codec._pack_enc = fns["_pack_enc"]
+        syn8, syn16 = fns["_synth_u8__i8"], fns["_synth_u8__i16"]
+        codec._synth_u8 = (
+            lambda s, m: syn8(s, m) if s.dtype == jnp.int8 else syn16(s, m)
+        )
+
+    # freeze everything that would rebuild or retrace graphs, and restrict
+    # the public API to the uint8 paths the bundle carries
+    codec.update = _frozen
+    codec._build_u8_fns = _frozen
+    inner_compress, inner_decompress = codec.compress, codec.decompress
+
+    def compress(x):
+        x = np.asarray(x)
+        if x.dtype != np.uint8:
+            raise RuntimeError(
+                "AOT serving bundle codes the uint8 fast path only"
+            )
+        if tuple(x.shape) != tuple(meta["input_shape"]):
+            raise ValueError(
+                f"bundle is fixed to input shape {meta['input_shape']}; "
+                f"got {list(x.shape)}"
+            )
+        return inner_compress(x)
+
+    def decompress(strings, shape, u8=False):
+        # default False mirrors the class signature; the rare non-int8
+        # escape inside _decompress_u8 falls back to THIS method with
+        # u8 unset expecting the float path — raising there (instead of
+        # re-entering the u8 path) is the correct frozen-bundle behavior
+        if not u8:
+            raise RuntimeError(
+                "AOT serving bundle decodes the uint8 fast path only "
+                "(pass u8=True; escape fallbacks need the live codec)"
+            )
+        return inner_decompress(strings, shape, u8=True)
+
+    codec.compress = compress
+    codec.decompress = decompress
+    codec.bundle_meta = meta
+    return codec

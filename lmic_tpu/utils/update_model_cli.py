@@ -40,6 +40,11 @@ def parse_args(argv):
     p.add_argument("--from-torch", action="store_true",
                    help="checkpoint is a reference PyTorch .pth(.tar): "
                         "convert via zoo.pretrained and bake tables")
+    p.add_argument("--aot-shape", default=None, metavar="BxHxWxC",
+                   help="additionally export an AOT serving bundle "
+                        "(jax.export graphs + baked tables, loadable "
+                        "without model code) for this input shape, e.g. "
+                        "8x768x512x3; non-AR image archs only")
     return p.parse_args(argv)
 
 
@@ -96,6 +101,19 @@ def run(argv=None):
         out = ckpt.update_model_file(
             args.checkpoint, args.out_dir, codec, name, update=not baked
         )
+    if args.aot_shape:
+        from lmic_tpu.utils.aot import export_serving_bundle
+
+        shape = tuple(int(d) for d in args.aot_shape.lower().split("x"))
+        if len(shape) == 3:
+            shape = (*shape, 3)
+        if len(shape) != 4:
+            raise SystemExit("--aot-shape must be BxHxW or BxHxWxC")
+        codec.update()  # no-op if already baked
+        bundle = export_serving_bundle(
+            codec, f"{args.out_dir}/{name}-aot", shape
+        )
+        print(bundle)
     print(out)
     return out
 

@@ -1,0 +1,80 @@
+"""AOT serving-bundle tests: an exported bundle must reconstitute a codec
+(without model code or weights) that codes bit-identical streams and
+reconstructions to the live codec it was exported from."""
+
+import jax
+import numpy as np
+import pytest
+
+from lmic_tpu import zoo
+from lmic_tpu.utils.aot import export_serving_bundle, load_serving_bundle
+
+SHAPE = (2, 64, 64, 3)
+
+
+def _live(arch):
+    codec = zoo.create_model(
+        arch, 1, key=jax.random.key(0), input_size=SHAPE[1:3]
+    )
+    codec.update(force=True)
+    return codec
+
+
+def _pixels(seed=0):
+    return (np.random.default_rng(seed).random(SHAPE) * 255).astype(
+        np.uint8
+    )
+
+
+@pytest.mark.parametrize(
+    "arch",
+    ["bmshj2018-factorized", "bmshj2018-hyperprior", "mbt2018-mean"],
+)
+class TestBundleRoundtrip:
+    def test_bit_equal_to_live_codec(self, arch, tmp_path):
+        live = _live(arch)
+        x = _pixels()
+        want = live.compress(x)
+        want_rec = live.decompress(want["strings"], want["shape"], u8=True)
+
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, SHAPE)
+        served = load_serving_bundle(bundle)
+        got = served.compress(x)
+        assert got["strings"] == want["strings"]
+        assert tuple(got["shape"]) == tuple(want["shape"])
+        got_rec = served.decompress(got["strings"], got["shape"], u8=True)
+        np.testing.assert_array_equal(got_rec["x_hat"], want_rec["x_hat"])
+
+    def test_async_api_served(self, arch, tmp_path):
+        live = _live(arch)
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, SHAPE)
+        served = load_serving_bundle(bundle)
+        x = _pixels(1)
+        out = served.compress_async(x)()
+        rec = served.decompress_async(out["strings"], out["shape"])()
+        want = live.compress(x)
+        assert out["strings"] == want["strings"]
+        assert rec["x_hat"].shape == SHAPE and rec["x_hat"].dtype == np.uint8
+
+
+class TestBundleGuards:
+    def test_wrong_shape_and_dtype_rejected(self, tmp_path):
+        live = _live("bmshj2018-factorized")
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, SHAPE)
+        served = load_serving_bundle(bundle)
+        with pytest.raises(ValueError, match="fixed to input shape"):
+            served.compress(np.zeros((1, 64, 64, 3), np.uint8))
+        with pytest.raises(RuntimeError, match="uint8 fast path"):
+            served.compress(np.zeros(SHAPE, np.float32))
+        with pytest.raises(RuntimeError, match="uint8 fast path"):
+            served.decompress([[b""]], (4, 4))
+        with pytest.raises(RuntimeError, match="frozen"):
+            served.update(force=True)
+
+    def test_ar_codec_rejected(self, tmp_path):
+        live = _live("mbt2018")
+        with pytest.raises(ValueError, match="io_callback"):
+            export_serving_bundle(live, str(tmp_path / "b"), SHAPE)

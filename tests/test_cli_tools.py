@@ -277,6 +277,36 @@ class TestUpdateModel:
         r = codec2.decompress(o["strings"], o["shape"])
         assert r["x_hat"].shape == x.shape
 
+    def test_aot_shape_flag_exports_bundle(self, tmp_path):
+        import jax
+
+        from lmic_tpu import zoo
+        from lmic_tpu.utils import checkpoint as ckpt
+        from lmic_tpu.utils.aot import load_serving_bundle
+        from lmic_tpu.utils.train import create_train_state, make_optimizer
+        from lmic_tpu.utils.update_model_cli import run
+
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        state = create_train_state(codec.variables["params"], make_optimizer())
+        train_ckpt = tmp_path / "train.ckpt"
+        ckpt.save_checkpoint(str(train_ckpt), state)
+        run([
+            str(train_ckpt), "-a", "bmshj2018-factorized", "-q", "1",
+            "-d", str(tmp_path), "--aot-shape", "1x64x64",
+        ])
+        served = load_serving_bundle(
+            str(tmp_path / "bmshj2018-factorized-q1-aot")
+        )
+        x = (np.random.default_rng(0).random((1, 64, 64, 3)) * 255).astype(
+            np.uint8
+        )
+        o = served.compress(x)
+        r = served.decompress(o["strings"], o["shape"], u8=True)
+        assert r["x_hat"].shape == x.shape and r["x_hat"].dtype == np.uint8
+
 
 class TestVideoBench:
     def test_sequence_metrics_identical_is_inf(self, tmp_path):
