@@ -68,6 +68,12 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
     batches whose leading dim divides the mesh size.
     """
     codec._check_updated()
+    if hasattr(codec, "bundle_meta"):
+        raise ValueError(
+            "AOT serving bundles are frozen at a fixed input shape and "
+            "cannot be re-sharded; export per-device bundles and fan out "
+            "at the caller level, or shard the live codec before export"
+        )
     if hasattr(codec, "fanout"):
         # autoregressive family: images are independent, so the wavefront
         # scans (encode + the io_callback decode lanes) fan out one image

@@ -78,3 +78,27 @@ class TestBundleGuards:
         live = _live("mbt2018")
         with pytest.raises(ValueError, match="io_callback"):
             export_serving_bundle(live, str(tmp_path / "b"), SHAPE)
+
+    def test_shard_codec_rejects_bundle(self, tmp_path):
+        from lmic_tpu.parallel import make_mesh, shard_codec
+
+        live = _live("bmshj2018-factorized")
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, SHAPE)
+        served = load_serving_bundle(bundle)
+        with pytest.raises(ValueError, match="frozen at a fixed input"):
+            shard_codec(served, make_mesh(2))
+
+    def test_format_version_checked(self, tmp_path):
+        import json
+        import os
+
+        live = _live("bmshj2018-factorized")
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, SHAPE)
+        meta_path = os.path.join(bundle, "meta.json")
+        meta = json.load(open(meta_path))
+        meta["format"] = 999
+        json.dump(meta, open(meta_path, "w"))
+        with pytest.raises(ValueError, match="bundle format"):
+            load_serving_bundle(bundle)
