@@ -71,8 +71,9 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
     if hasattr(codec, "bundle_meta"):
         raise ValueError(
             "AOT serving bundles are frozen at a fixed input shape and "
-            "cannot be re-sharded; export per-device bundles and fan out "
-            "at the caller level, or shard the live codec before export"
+            "cannot be re-sharded; shard the live codec BEFORE export "
+            "(then load_serving_bundle(path, mesh=...)), or export "
+            "per-device bundles and fan out at the caller level"
         )
     if hasattr(codec, "fanout"):
         # autoregressive family: images are independent, so the wavefront

@@ -16,8 +16,14 @@ Supported: the factorized + hyperprior family (the non-AR image codecs).
 The AR wavefront decode streams symbols through `io_callback`, which
 `jax.export` cannot serialize (tests/test_export.py pins this boundary).
 
+Multi-chip bundles: `parallel.shard_codec(codec, mesh)` first, then export —
+the serialized graphs carry the batch-axis shardings, and
+`load_serving_bundle(path, mesh=...)` serves them SPMD over a same-size
+mesh (args are committed to the exported shardings before each call).
+
 Bundle layout:
-    meta.json   format version, family, (B, H, W, C), N/M widths, fn list
+    meta.json   format version, family, (B, H, W, C), N/M widths, fn list,
+                nr_devices the graphs were exported for
     state.npz   EB/GC integer CDF tables, medians, scale table
     fns/*.bin   one serialized `jax.export.Exported` per device graph
                 (dtype-variant graphs get a `__i8`/`__i16` suffix)
@@ -96,10 +102,12 @@ def export_serving_bundle(codec, out_dir, input_shape) -> str:
 
     os.makedirs(os.path.join(out_dir, "fns"), exist_ok=True)
     fn_names = []
+    nr_devices = 1
     for name, (fn, specs) in _plan(codec, family, x_spec).items():
-        blob = jexport.export(fn)(*specs).serialize()
+        exp = jexport.export(fn)(*specs)
+        nr_devices = max(nr_devices, exp.nr_devices)
         with open(os.path.join(out_dir, "fns", name + ".bin"), "wb") as f:
-            f.write(blob)
+            f.write(exp.serialize())
         fn_names.append(name)
 
     state: Dict[str, Any] = {
@@ -127,6 +135,7 @@ def export_serving_bundle(codec, out_dir, input_shape) -> str:
             getattr(codec.module, "downsampling_factor", 0)
         ),
         "fns": fn_names,
+        "nr_devices": nr_devices,
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
@@ -151,11 +160,35 @@ def _frozen(*_a, **_k):
     )
 
 
-def load_serving_bundle(path):
+def _mesh_call(exp, mesh):
+    """Call a multi-device `Exported`: commit each arg to the sharding the
+    graph was exported with (host numpy arrives uncommitted and is rejected
+    in a 1-device calling context; device_put on an already-matching array
+    is a no-op)."""
+    shardings = exp.in_shardings_jax(mesh)
+
+    def call(*args):
+        # shardings are per flattened leaf (a None arg — e.g. the scale-only
+        # hyperprior's absent means — contributes no leaves)
+        leaves, treedef = jax.tree.flatten(args)
+        leaves = [
+            a if s is None else jax.device_put(a, s)
+            for a, s in zip(leaves, shardings)
+        ]
+        return exp.call(*jax.tree.unflatten(treedef, leaves))
+
+    return call
+
+
+def load_serving_bundle(path, mesh=None):
     """Reconstitute a serving codec from an exported bundle. Returns a
     `FactorizedPriorCodec`/`HyperpriorCodec` instance whose device graphs
     are the deserialized exports — uint8 fast path only, fixed to the
-    bundle's (B, H, W, C)."""
+    bundle's (B, H, W, C).
+
+    Bundles exported from a `shard_codec`-sharded codec carry SPMD graphs:
+    pass a `mesh` of the recorded `nr_devices` size (default: a 1-D mesh
+    over the first `nr_devices` local devices)."""
     from jax import export as jexport
 
     from lmic_tpu.entropy.coder import CdfTable
@@ -172,10 +205,29 @@ def load_serving_bundle(path):
         raise ValueError(
             f"bundle format {meta['format']} != supported {FORMAT_VERSION}"
         )
+    nr_devices = int(meta.get("nr_devices", 1))
+    if nr_devices == 1:
+        if mesh is not None:
+            raise ValueError(
+                "bundle was exported from an unsharded codec; it runs "
+                "single-device (shard the live codec before export for "
+                "an SPMD bundle)"
+            )
+    else:
+        if mesh is None:
+            from lmic_tpu.parallel import make_mesh
+
+            mesh = make_mesh(nr_devices)
+        if mesh.size != nr_devices:
+            raise ValueError(
+                f"bundle was exported for {nr_devices} devices; got a "
+                f"{mesh.size}-device mesh"
+            )
     fns = {}
     for name in meta["fns"]:
         with open(os.path.join(path, "fns", name + ".bin"), "rb") as f:
-            fns[name] = jexport.deserialize(f.read()).call
+            exp = jexport.deserialize(f.read())
+        fns[name] = exp.call if nr_devices == 1 else _mesh_call(exp, mesh)
     state = np.load(os.path.join(path, "state.npz"))
 
     family = meta["family"]

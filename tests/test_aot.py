@@ -59,6 +59,54 @@ class TestBundleRoundtrip:
         assert rec["x_hat"].shape == SHAPE and rec["x_hat"].dtype == np.uint8
 
 
+class TestShardedBundle:
+    """shard_codec BEFORE export → SPMD bundle served over a same-size
+    mesh, bit-equal to the live sharded codec."""
+
+    SHARD_SHAPE = (8, 64, 64, 3)
+
+    @pytest.mark.parametrize(
+        "arch", ["bmshj2018-factorized", "bmshj2018-hyperprior"]
+    )
+    def test_bit_equal_over_mesh(self, arch, tmp_path):
+        from lmic_tpu.parallel import make_mesh, shard_codec
+
+        live = _live(arch)
+        mesh = make_mesh()
+        shard_codec(live, mesh)
+        x = (np.random.default_rng(2).random(self.SHARD_SHAPE) * 255
+             ).astype(np.uint8)
+        want = live.compress(x)
+
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, self.SHARD_SHAPE)
+        served = load_serving_bundle(bundle, mesh=make_mesh())
+        got = served.compress(x)
+        assert got["strings"] == want["strings"]
+        rec = served.decompress(got["strings"], got["shape"], u8=True)
+        want_rec = live.decompress(want["strings"], want["shape"], u8=True)
+        np.testing.assert_array_equal(rec["x_hat"], want_rec["x_hat"])
+
+    def test_mesh_size_checked(self, tmp_path):
+        from lmic_tpu.parallel import make_mesh, shard_codec
+
+        live = _live("bmshj2018-factorized")
+        shard_codec(live, make_mesh())
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, self.SHARD_SHAPE)
+        with pytest.raises(ValueError, match="exported for 8 devices"):
+            load_serving_bundle(bundle, mesh=make_mesh(2))
+
+    def test_unsharded_bundle_rejects_mesh(self, tmp_path):
+        from lmic_tpu.parallel import make_mesh
+
+        live = _live("bmshj2018-factorized")
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, SHAPE)
+        with pytest.raises(ValueError, match="unsharded"):
+            load_serving_bundle(bundle, mesh=make_mesh(2))
+
+
 class TestBundleGuards:
     def test_wrong_shape_and_dtype_rejected(self, tmp_path):
         live = _live("bmshj2018-factorized")
