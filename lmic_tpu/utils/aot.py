@@ -12,7 +12,9 @@ path bit-identically to the live codec (tests/test_aot.py), so a serving
 fleet can ship one directory per (arch, quality, shape) and never import
 the model zoo.
 
-Supported: the factorized + hyperprior family (the non-AR image codecs).
+Supported: the factorized + hyperprior family (the non-AR image codecs)
+and ssf2020 (a 5-dim `input_shape` (B, T, H, W, C) exports the whole-GOP
+chain of all three hyperprior sub-codecs, fixed to that GOP length).
 The AR wavefront decode streams symbols through `io_callback`, which
 `jax.export` cannot serialize (tests/test_export.py pins this boundary).
 
@@ -46,15 +48,19 @@ __all__ = ["export_serving_bundle", "load_serving_bundle"]
 
 def _family(codec) -> str:
     from lmic_tpu.models.codec import FactorizedPriorCodec, HyperpriorCodec
+    from lmic_tpu.models.video import ScaleSpaceFlowCodec
 
     if isinstance(codec, FactorizedPriorCodec):
         return "factorized"
     if isinstance(codec, HyperpriorCodec):
         return "hyperprior"
+    if isinstance(codec, ScaleSpaceFlowCodec):
+        return "video"
     raise ValueError(
         f"{type(codec).__name__} is not AOT-exportable: only the "
-        "factorized/hyperprior family has callback-free codec graphs "
-        "(the AR decode wavefront streams host symbols via io_callback)"
+        "factorized/hyperprior family and ssf2020 have callback-free "
+        "codec graphs (the AR decode wavefront streams host symbols via "
+        "io_callback)"
     )
 
 
@@ -83,52 +89,123 @@ def _plan(codec, family, x_spec):
     }
 
 
+def _video_plan(codec, x5_spec):
+    """ssf2020 export plan: the whole-GOP device chain — per-frame
+    transforms, the three sub-codecs' symbol/param graphs (incl. both
+    decode symbol dtypes), and the packed-transfer graphs — chained through
+    jax.eval_shape so every spec matches the live GOP pipeline exactly
+    (models/video.py:_compress_chunk_dispatch/_decompress_chunk)."""
+    B, T, H, W, C = x5_spec.shape
+    plan = {
+        "_ingest_u8": (codec._ingest_u8, (x5_spec,)),
+        "_egress_u8": (
+            codec._egress_u8,
+            (jax.ShapeDtypeStruct((B, T, H, W, C), jnp.float32),),
+        ),
+    }
+    x = jax.ShapeDtypeStruct((B, H, W, C), jnp.float32)
+
+    def sub(which, y):
+        st = codec.hp_states[which]
+        z8, _ = jax.eval_shape(st._zsym, y)
+        idx, means = jax.eval_shape(st._params_from_zsym, z8)
+        y8, y16, _ = jax.eval_shape(st._ysym, y, means)
+        plan[f"{which}__zsym"] = (st._zsym, (y,))
+        plan[f"{which}__params_from_zsym"] = (st._params_from_zsym, (z8,))
+        plan[f"{which}__ysym"] = (st._ysym, (y, means))
+        plan[f"{which}__yhat__i8"] = (st._yhat, (y8, means))
+        plan[f"{which}__yhat__i16"] = (st._yhat, (y16, means))
+        plan[f"{which}__yhat_f32"] = (st._yhat_f32, (y, means))
+        ovf = jax.ShapeDtypeStruct((), jnp.int32)
+        return jax.eval_shape(st._yhat_f32, y, means), (z8, idx, y8, ovf, ovf)
+
+    plan["_img_encode"] = (codec._img_encode, (x,))
+    y_img = jax.eval_shape(codec._img_encode, x)
+    yhat_img, part_img = sub("img", y_img)
+    plan["_img_decode"] = (codec._img_decode, (yhat_img,))
+    x_ref = jax.eval_shape(codec._img_decode, yhat_img)
+    plan["_motion_encode"] = (codec._motion_encode, (x, x_ref))
+    y_mot = jax.eval_shape(codec._motion_encode, x, x_ref)
+    yhat_mot, part_mot = sub("motion", y_mot)
+    plan["_motion_decode_predict"] = (
+        codec._motion_decode_predict, (yhat_mot, x_ref)
+    )
+    plan["_res_encode"] = (codec._res_encode, (x,))
+    y_res = jax.eval_shape(codec._res_encode, x)
+    yhat_res, part_res = sub("res", y_res)
+    plan["_res_decode"] = (codec._res_decode, (yhat_res, yhat_mot))
+
+    parts = [part_img] + [part_mot, part_res] * (T - 1)
+    plan["_pack_gop"] = (codec._pack_gop, (parts,))
+    plan["_cat_u8"] = (codec._cat_u8, ([idx for _, idx, _, _, _ in parts],))
+    return plan
+
+
 def export_serving_bundle(codec, out_dir, input_shape) -> str:
-    """Serialize `codec`'s uint8 fast-path graphs for `input_shape`
-    (B, H, W, C) into `out_dir`. The codec must be `update()`d; the graphs
-    are exported exactly as the live codec built them, so the bundle codes
+    """Serialize `codec`'s uint8 fast-path graphs for `input_shape` —
+    (B, H, W, C) for the image family, (B, T, H, W, C) for ssf2020 —
+    into `out_dir`. The codec must be `update()`d; the graphs are exported
+    exactly as the live codec built them, so the bundle codes
     bit-identical streams."""
     from jax import export as jexport
 
     codec._check_updated()
     family = _family(codec)
-    B, H, W, C = map(int, input_shape)
-    if family == "hyperprior" and (H % 64 or W % 64):
-        raise ValueError("hyperprior bundles need 64-multiple H, W")
-    if not hasattr(codec, "_enc_u8" if family == "factorized"
-                   else "_analyze_u8"):
+    if family == "video":
+        if len(input_shape) != 5:
+            raise ValueError("ssf2020 bundles take (B, T, H, W, C)")
+        B, T, H, W, C = map(int, input_shape)
+        if T < 2:
+            raise ValueError("ssf2020 bundles need a GOP of >= 2 frames")
+    else:
+        B, H, W, C = map(int, input_shape)
+        T = None
+    if family != "factorized" and (H % 64 or W % 64):
+        raise ValueError(f"{family} bundles need 64-multiple H, W")
+    if family != "video" and not hasattr(
+        codec, "_enc_u8" if family == "factorized" else "_analyze_u8"
+    ):
         codec._build_u8_fns()
-    x_spec = jax.ShapeDtypeStruct((B, H, W, C), jnp.uint8)
+    x_spec = jax.ShapeDtypeStruct(tuple(map(int, input_shape)), jnp.uint8)
 
     os.makedirs(os.path.join(out_dir, "fns"), exist_ok=True)
+    plan = (_video_plan(codec, x_spec) if family == "video"
+            else _plan(codec, family, x_spec))
     fn_names = []
     nr_devices = 1
-    for name, (fn, specs) in _plan(codec, family, x_spec).items():
+    for name, (fn, specs) in plan.items():
         exp = jexport.export(fn)(*specs)
         nr_devices = max(nr_devices, exp.nr_devices)
         with open(os.path.join(out_dir, "fns", name + ".bin"), "wb") as f:
             f.write(exp.serialize())
         fn_names.append(name)
 
-    state: Dict[str, Any] = {
-        "eb_cdf": codec.eb_state.table.cdf,
-        "eb_cdf_length": codec.eb_state.table.cdf_length,
-        "eb_offset": codec.eb_state.table.offset,
-        "eb_medians": np.asarray(codec.eb_state.medians),
-    }
-    if codec.gc_state is not None:
-        state.update(
-            gc_cdf=codec.gc_state.table.cdf,
-            gc_cdf_length=codec.gc_state.table.cdf_length,
-            gc_offset=codec.gc_state.table.offset,
-            gc_scale_table=np.asarray(codec.gc_state.scale_table),
-        )
+    state: Dict[str, Any] = {}
+
+    def save_tables(prefix, eb_state, gc_state):
+        state[f"{prefix}eb_cdf"] = eb_state.table.cdf
+        state[f"{prefix}eb_cdf_length"] = eb_state.table.cdf_length
+        state[f"{prefix}eb_offset"] = eb_state.table.offset
+        state[f"{prefix}eb_medians"] = np.asarray(eb_state.medians)
+        if gc_state is not None:
+            state[f"{prefix}gc_cdf"] = gc_state.table.cdf
+            state[f"{prefix}gc_cdf_length"] = gc_state.table.cdf_length
+            state[f"{prefix}gc_offset"] = gc_state.table.offset
+            state[f"{prefix}gc_scale_table"] = np.asarray(
+                gc_state.scale_table
+            )
+
+    if family == "video":
+        for which, st in codec.hp_states.items():
+            save_tables(f"{which}__", st.eb_state, st.gc_state)
+    else:
+        save_tables("", codec.eb_state, codec.gc_state)
     np.savez(os.path.join(out_dir, "state.npz"), **state)
 
     meta = {
         "format": FORMAT_VERSION,
         "family": family,
-        "input_shape": [B, H, W, C],
+        "input_shape": list(map(int, input_shape)),
         "N": int(getattr(codec.module, "N", 0)),
         "M": int(getattr(codec.module, "M", 0)),
         "downsampling_factor": int(
@@ -180,11 +257,86 @@ def _mesh_call(exp, mesh):
     return call
 
 
+def _load_video_bundle(meta, fns, state):
+    """Reconstitute a ssf2020 serving codec: three `_HyperpriorState` shims
+    built from the saved tables, every device graph a deserialized export.
+    The host GOP orchestration (models/video.py) runs unchanged on top."""
+    from lmic_tpu.entropy.coder import CdfTable
+    from lmic_tpu.entropy.entropy_models import (
+        EBState, GaussianConditional, GCState,
+    )
+    from lmic_tpu.models.codec import CompressionCodec
+    from lmic_tpu.models.video import ScaleSpaceFlowCodec, _HyperpriorState
+
+    codec = object.__new__(ScaleSpaceFlowCodec)
+    CompressionCodec.__init__(codec, _ModuleShim(0, 0, 0), None)
+    codec._fanout_devices = None
+    codec.hp_states = {}
+    for which in ("img", "motion", "res"):
+        st = object.__new__(_HyperpriorState)
+        st.which = which
+        p = f"{which}__"
+        st.eb_state = EBState(
+            table=CdfTable(state[p + "eb_cdf"], state[p + "eb_cdf_length"],
+                           state[p + "eb_offset"]),
+            medians=state[p + "eb_medians"],
+        )
+        st.gc_state = GCState(
+            table=CdfTable(state[p + "gc_cdf"], state[p + "gc_cdf_length"],
+                           state[p + "gc_offset"]),
+            scale_table=state[p + "gc_scale_table"],
+            gc=GaussianConditional(),
+        )
+        st._zsym = fns[p + "zsym"]
+        st._params_from_zsym = fns[p + "params_from_zsym"]
+        st._ysym = fns[p + "ysym"]
+        st._yhat = (
+            lambda s, m, _a=fns[p + "yhat__i8"], _b=fns[p + "yhat__i16"]:
+            _a(s, m) if s.dtype == jnp.int8 else _b(s, m)
+        )
+        st._yhat_f32 = fns[p + "yhat_f32"]
+        # the f32 escape paths (extreme-latent overflow) need the live codec
+        st._rebuild = st._encode_z = st._params = _frozen
+        codec.hp_states[which] = st
+    for name in ("_ingest_u8", "_egress_u8", "_img_encode", "_img_decode",
+                 "_motion_encode", "_motion_decode_predict", "_res_encode",
+                 "_res_decode", "_pack_gop", "_cat_u8"):
+        setattr(codec, name, fns[name])
+    codec.update = codec.fanout = _frozen
+    inner_compress, inner_decompress = codec.compress, codec.decompress
+    fixed = tuple(meta["input_shape"])
+
+    def compress(frames):
+        frames = np.asarray(frames)
+        if frames.dtype != np.uint8:
+            raise RuntimeError(
+                "AOT serving bundle codes the uint8 fast path only"
+            )
+        if tuple(frames.shape) != fixed:
+            raise ValueError(
+                f"bundle is fixed to input shape {meta['input_shape']}; "
+                f"got {list(frames.shape)}"
+            )
+        return inner_compress(frames)
+
+    def decompress(strings, shapes, u8=False):
+        if not u8:
+            raise RuntimeError(
+                "AOT serving bundle decodes the uint8 fast path only "
+                "(pass u8=True; escape fallbacks need the live codec)"
+            )
+        return inner_decompress(strings, shapes, u8=True)
+
+    codec.compress = compress
+    codec.decompress = decompress
+    return codec
+
+
 def load_serving_bundle(path, mesh=None):
     """Reconstitute a serving codec from an exported bundle. Returns a
-    `FactorizedPriorCodec`/`HyperpriorCodec` instance whose device graphs
-    are the deserialized exports — uint8 fast path only, fixed to the
-    bundle's (B, H, W, C).
+    `FactorizedPriorCodec`/`HyperpriorCodec`/`ScaleSpaceFlowCodec` instance
+    whose device graphs are the deserialized exports — uint8 fast path
+    only, fixed to the bundle's input shape.
 
     Bundles exported from a `shard_codec`-sharded codec carry SPMD graphs:
     pass a `mesh` of the recorded `nr_devices` size (default: a 1-D mesh
@@ -231,6 +383,10 @@ def load_serving_bundle(path, mesh=None):
     state = np.load(os.path.join(path, "state.npz"))
 
     family = meta["family"]
+    if family == "video":
+        codec = _load_video_bundle(meta, fns, state)
+        codec.bundle_meta = meta
+        return codec
     cls = (FactorizedPriorCodec if family == "factorized"
            else HyperpriorCodec)
     codec = object.__new__(cls)

@@ -44,7 +44,8 @@ def parse_args(argv):
                    help="additionally export an AOT serving bundle "
                         "(jax.export graphs + baked tables, loadable "
                         "without model code) for this input shape, e.g. "
-                        "8x768x512x3; non-AR image archs only")
+                        "8x768x512x3 (ssf2020: BxTxHxW[xC] GOP shape); "
+                        "non-AR archs only")
     return p.parse_args(argv)
 
 
@@ -105,10 +106,14 @@ def run(argv=None):
         from lmic_tpu.utils.aot import export_serving_bundle
 
         shape = tuple(int(d) for d in args.aot_shape.lower().split("x"))
-        if len(shape) == 3:
+        want = 5 if args.arch == "ssf2020" else 4
+        if len(shape) == want - 1:
             shape = (*shape, 3)
-        if len(shape) != 4:
-            raise SystemExit("--aot-shape must be BxHxW or BxHxWxC")
+        if len(shape) != want:
+            raise SystemExit(
+                "--aot-shape must be BxTxHxW[xC] for ssf2020, "
+                "BxHxW[xC] otherwise"
+            )
         codec.update()  # no-op if already baked
         bundle = export_serving_bundle(
             codec, f"{args.out_dir}/{name}-aot", shape

@@ -59,6 +59,63 @@ class TestBundleRoundtrip:
         assert rec["x_hat"].shape == SHAPE and rec["x_hat"].dtype == np.uint8
 
 
+class TestVideoBundle:
+    """ssf2020 bundle: the whole-GOP chain (3 sub-codecs) exports and
+    serves bit-equal, fixed to the (B, T, H, W, C) GOP shape."""
+
+    GOP = (1, 3, 128, 128, 3)
+
+    def _deep_eq(self, a, b):
+        if isinstance(a, dict):
+            return all(self._deep_eq(a[k], b[k]) for k in a)
+        return all(x == y for p, q in zip(a, b) for x, y in zip(p, q))
+
+    def test_bit_equal_to_live_codec(self, tmp_path):
+        live = zoo.create_video_model(
+            "ssf2020", 1, key=jax.random.key(0), input_size=self.GOP[2:4]
+        )
+        live.update(force=True)
+        frames = (np.random.default_rng(3).random(self.GOP) * 255).astype(
+            np.uint8
+        )
+        want_s, want_sh = live.compress(frames)
+        want_rec = live.decompress(want_s, want_sh, u8=True)
+
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, self.GOP)
+        served = load_serving_bundle(bundle)
+        got_s, got_sh = served.compress(frames)
+        assert all(self._deep_eq(a, b) for a, b in zip(got_s, want_s))
+        rec = served.decompress(got_s, got_sh, u8=True)
+        np.testing.assert_array_equal(rec, want_rec)
+        # async serving APIs ride the same graphs
+        out = served.compress_async(frames)()
+        assert all(self._deep_eq(a, b) for a, b in zip(out[0], want_s))
+        rec2 = served.decompress_async(got_s, got_sh, u8=True)()
+        np.testing.assert_array_equal(rec2, want_rec)
+        # frozen-bundle guards
+        with pytest.raises(RuntimeError, match="uint8 fast path"):
+            served.compress(frames.astype(np.float32))
+        with pytest.raises(ValueError, match="fixed to input shape"):
+            served.compress(frames[:, :2])
+        with pytest.raises(RuntimeError, match="uint8 fast path"):
+            served.decompress(got_s, got_sh)
+        with pytest.raises(RuntimeError, match="frozen"):
+            served.update(force=True)
+
+    def test_shape_validation(self, tmp_path):
+        live = zoo.create_video_model(
+            "ssf2020", 1, key=jax.random.key(0), input_size=(128, 128)
+        )
+        live.update(force=True)
+        with pytest.raises(ValueError, match="GOP of >= 2"):
+            export_serving_bundle(live, str(tmp_path / "b"),
+                                  (1, 1, 128, 128, 3))
+        with pytest.raises(ValueError, match="B, T, H, W, C"):
+            export_serving_bundle(live, str(tmp_path / "b"),
+                                  (1, 128, 128, 3))
+
+
 class TestShardedBundle:
     """shard_codec BEFORE export → SPMD bundle served over a same-size
     mesh, bit-equal to the live sharded codec."""
