@@ -41,7 +41,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-FORMAT_VERSION = 1
+# Per-family format version: video bundles (format 2) carry prefixed
+# state keys / fn names that format-1 loaders cannot read, so they get
+# their own version and old loaders reject them at the format gate.
+FAMILY_FORMAT = {"factorized": 1, "hyperprior": 1, "video": 2}
 
 __all__ = ["export_serving_bundle", "load_serving_bundle"]
 
@@ -160,8 +163,11 @@ def export_serving_bundle(codec, out_dir, input_shape) -> str:
     else:
         B, H, W, C = map(int, input_shape)
         T = None
-    if family != "factorized" and (H % 64 or W % 64):
-        raise ValueError(f"{family} bundles need 64-multiple H, W")
+    # hyperprior: 4 encoder + 2 hyper stride-2 convs -> 64; ssf2020: 4
+    # encoder + 3 hyper stride-2 convs -> 128 (video_eval PAD_MULTIPLE)
+    mult = {"hyperprior": 64, "video": 128}.get(family)
+    if mult and (H % mult or W % mult):
+        raise ValueError(f"{family} bundles need {mult}-multiple H, W")
     if family != "video" and not hasattr(
         codec, "_enc_u8" if family == "factorized" else "_analyze_u8"
     ):
@@ -203,7 +209,7 @@ def export_serving_bundle(codec, out_dir, input_shape) -> str:
     np.savez(os.path.join(out_dir, "state.npz"), **state)
 
     meta = {
-        "format": FORMAT_VERSION,
+        "format": FAMILY_FORMAT[family],
         "family": family,
         "input_shape": list(map(int, input_shape)),
         "N": int(getattr(codec.module, "N", 0)),
@@ -235,6 +241,60 @@ def _frozen(*_a, **_k):
         "AOT serving bundle: graphs are frozen at export; rebuild the "
         "bundle from the live codec instead"
     )
+
+
+def _restrict_to_u8(codec, meta):
+    """Frozen-bundle API guards, shared by all families: uint8 fast path
+    only, input fixed to the exported shape. Installed over compress,
+    decompress, AND their async variants — the async entry points reuse
+    the same exported graphs and would otherwise bypass the checks and
+    die deep inside `jax.export` with an opaque error."""
+    fixed = tuple(meta["input_shape"])
+
+    def check_x(x):
+        x = np.asarray(x)
+        if x.dtype != np.uint8:
+            raise RuntimeError(
+                "AOT serving bundle codes the uint8 fast path only"
+            )
+        if tuple(x.shape) != fixed:
+            raise ValueError(
+                f"bundle is fixed to input shape {meta['input_shape']}; "
+                f"got {list(x.shape)}"
+            )
+        return x
+
+    inner_c, inner_ca = codec.compress, codec.compress_async
+    codec.compress = lambda x: inner_c(check_x(x))
+    codec.compress_async = lambda x: inner_ca(check_x(x))
+
+    inner_d = codec.decompress
+
+    def decompress(strings, shape, u8=False):
+        # default False mirrors the class signature; the rare non-int8
+        # escape inside the u8 decode body falls back to THIS method with
+        # u8 unset expecting the float path — raising there (instead of
+        # re-entering the u8 path) is the correct frozen-bundle behavior
+        if not u8:
+            raise RuntimeError(
+                "AOT serving bundle decodes the uint8 fast path only "
+                "(pass u8=True; escape fallbacks need the live codec)"
+            )
+        return inner_d(strings, shape, u8=True)
+
+    codec.decompress = decompress
+    if meta["family"] == "video":
+        inner_da = codec.decompress_async
+
+        def decompress_async(strings, shapes, u8=True):
+            if not u8:
+                raise RuntimeError(
+                    "AOT serving bundle decodes the uint8 fast path only"
+                )
+            return inner_da(strings, shapes, u8=True)
+
+        codec.decompress_async = decompress_async
+    # else: the image-family decompress_async is u8-only by construction
 
 
 def _mesh_call(exp, mesh):
@@ -303,32 +363,7 @@ def _load_video_bundle(meta, fns, state):
                  "_res_decode", "_pack_gop", "_cat_u8"):
         setattr(codec, name, fns[name])
     codec.update = codec.fanout = _frozen
-    inner_compress, inner_decompress = codec.compress, codec.decompress
-    fixed = tuple(meta["input_shape"])
-
-    def compress(frames):
-        frames = np.asarray(frames)
-        if frames.dtype != np.uint8:
-            raise RuntimeError(
-                "AOT serving bundle codes the uint8 fast path only"
-            )
-        if tuple(frames.shape) != fixed:
-            raise ValueError(
-                f"bundle is fixed to input shape {meta['input_shape']}; "
-                f"got {list(frames.shape)}"
-            )
-        return inner_compress(frames)
-
-    def decompress(strings, shapes, u8=False):
-        if not u8:
-            raise RuntimeError(
-                "AOT serving bundle decodes the uint8 fast path only "
-                "(pass u8=True; escape fallbacks need the live codec)"
-            )
-        return inner_decompress(strings, shapes, u8=True)
-
-    codec.compress = compress
-    codec.decompress = decompress
+    _restrict_to_u8(codec, meta)
     return codec
 
 
@@ -353,9 +388,11 @@ def load_serving_bundle(path, mesh=None):
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    if meta["format"] != FORMAT_VERSION:
+    expected = FAMILY_FORMAT.get(meta.get("family"))
+    if expected is None or meta["format"] != expected:
         raise ValueError(
-            f"bundle format {meta['format']} != supported {FORMAT_VERSION}"
+            f"unsupported bundle: family {meta.get('family')!r} format "
+            f"{meta.get('format')!r} (supported: {FAMILY_FORMAT})"
         )
     nr_devices = int(meta.get("nr_devices", 1))
     if nr_devices == 1:
@@ -429,34 +466,6 @@ def load_serving_bundle(path, mesh=None):
     # the public API to the uint8 paths the bundle carries
     codec.update = _frozen
     codec._build_u8_fns = _frozen
-    inner_compress, inner_decompress = codec.compress, codec.decompress
-
-    def compress(x):
-        x = np.asarray(x)
-        if x.dtype != np.uint8:
-            raise RuntimeError(
-                "AOT serving bundle codes the uint8 fast path only"
-            )
-        if tuple(x.shape) != tuple(meta["input_shape"]):
-            raise ValueError(
-                f"bundle is fixed to input shape {meta['input_shape']}; "
-                f"got {list(x.shape)}"
-            )
-        return inner_compress(x)
-
-    def decompress(strings, shape, u8=False):
-        # default False mirrors the class signature; the rare non-int8
-        # escape inside _decompress_u8 falls back to THIS method with
-        # u8 unset expecting the float path — raising there (instead of
-        # re-entering the u8 path) is the correct frozen-bundle behavior
-        if not u8:
-            raise RuntimeError(
-                "AOT serving bundle decodes the uint8 fast path only "
-                "(pass u8=True; escape fallbacks need the live codec)"
-            )
-        return inner_decompress(strings, shape, u8=True)
-
-    codec.compress = compress
-    codec.decompress = decompress
+    _restrict_to_u8(codec, meta)
     codec.bundle_meta = meta
     return codec

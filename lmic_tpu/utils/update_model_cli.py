@@ -40,7 +40,7 @@ def parse_args(argv):
     p.add_argument("--from-torch", action="store_true",
                    help="checkpoint is a reference PyTorch .pth(.tar): "
                         "convert via zoo.pretrained and bake tables")
-    p.add_argument("--aot-shape", default=None, metavar="BxHxWxC",
+    p.add_argument("--aot-shape", default=None, metavar="Bx[Tx]HxWxC",
                    help="additionally export an AOT serving bundle "
                         "(jax.export graphs + baked tables, loadable "
                         "without model code) for this input shape, e.g. "

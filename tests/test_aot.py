@@ -65,11 +65,6 @@ class TestVideoBundle:
 
     GOP = (1, 3, 128, 128, 3)
 
-    def _deep_eq(self, a, b):
-        if isinstance(a, dict):
-            return all(self._deep_eq(a[k], b[k]) for k in a)
-        return all(x == y for p, q in zip(a, b) for x, y in zip(p, q))
-
     def test_bit_equal_to_live_codec(self, tmp_path):
         live = zoo.create_video_model(
             "ssf2020", 1, key=jax.random.key(0), input_size=self.GOP[2:4]
@@ -85,12 +80,12 @@ class TestVideoBundle:
         export_serving_bundle(live, bundle, self.GOP)
         served = load_serving_bundle(bundle)
         got_s, got_sh = served.compress(frames)
-        assert all(self._deep_eq(a, b) for a, b in zip(got_s, want_s))
+        assert got_s == want_s
         rec = served.decompress(got_s, got_sh, u8=True)
         np.testing.assert_array_equal(rec, want_rec)
         # async serving APIs ride the same graphs
         out = served.compress_async(frames)()
-        assert all(self._deep_eq(a, b) for a, b in zip(out[0], want_s))
+        assert out[0] == want_s
         rec2 = served.decompress_async(got_s, got_sh, u8=True)()
         np.testing.assert_array_equal(rec2, want_rec)
         # frozen-bundle guards
@@ -100,6 +95,11 @@ class TestVideoBundle:
             served.compress(frames[:, :2])
         with pytest.raises(RuntimeError, match="uint8 fast path"):
             served.decompress(got_s, got_sh)
+        # the async entry points share the guards
+        with pytest.raises(RuntimeError, match="uint8 fast path"):
+            served.compress_async(frames.astype(np.float32))
+        with pytest.raises(RuntimeError, match="uint8 fast path"):
+            served.decompress_async(got_s, got_sh, u8=False)
         with pytest.raises(RuntimeError, match="frozen"):
             served.update(force=True)
 
@@ -114,6 +114,11 @@ class TestVideoBundle:
         with pytest.raises(ValueError, match="B, T, H, W, C"):
             export_serving_bundle(live, str(tmp_path / "b"),
                                   (1, 128, 128, 3))
+        # ssf2020 downsamples 2^7: a 64- but not 128-multiple must be
+        # rejected up front, not crash inside jax.eval_shape
+        with pytest.raises(ValueError, match="128-multiple"):
+            export_serving_bundle(live, str(tmp_path / "b"),
+                                  (1, 2, 1088, 1920, 3))
 
 
 class TestShardedBundle:
@@ -205,5 +210,13 @@ class TestBundleGuards:
         meta = json.load(open(meta_path))
         meta["format"] = 999
         json.dump(meta, open(meta_path, "w"))
-        with pytest.raises(ValueError, match="bundle format"):
+        with pytest.raises(ValueError, match="unsupported bundle"):
+            load_serving_bundle(bundle)
+        # video bundles carry their own format (prefixed state keys a
+        # format-1 loader cannot read) so the gate must also reject a
+        # family/format mismatch, not just unknown numbers
+        meta["format"] = 1
+        meta["family"] = "video"
+        json.dump(meta, open(meta_path, "w"))
+        with pytest.raises(ValueError, match="unsupported bundle"):
             load_serving_bundle(bundle)
