@@ -1,0 +1,229 @@
+"""lmic-serve: HTTP serving daemon for codecs and AOT bundles.
+
+Deployment infrastructure with no reference counterpart (the reference
+stops at file CLIs): serve a codec's uint8 fast path over HTTP so a
+fleet front-end can talk to a TPU host without importing model code.
+Pairs naturally with AOT serving bundles (utils/aot.py) — one bundle
+directory per (arch, quality, shape) — but also serves a live updated
+checkpoint. stdlib-only (http.server), so it runs in any worker image.
+
+Wire format (little-endian, mirroring the container helpers in
+utils/codec_cli.py):
+
+  POST /compress   request : u8 ndim, ndim x u32 dims, raw uint8 pixels
+                   response: image family -> one body
+                             (write_body: u32 h, w; u8 n_groups; per
+                             group u8 n, per string u32 len + bytes);
+                             video -> u32 n_legs, then one body per leg
+  POST /decompress request : the /compress response, echoed back
+                   response: u8 ndim, ndim x u32 dims, raw uint8 pixels
+  GET  /meta       response: JSON {family, input_shape, ...}
+
+Requests are serialized through one lock: the codec owns device buffers
+and a host coder worker, so concurrency comes from batching (the B axis
+of the served shape), not from racing requests.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from lmic_tpu.utils.codec_cli import (
+    read_body,
+    read_uchars,
+    read_uints,
+    write_body,
+    write_uchars,
+    write_uints,
+)
+
+__all__ = ["make_server", "main"]
+
+
+def _write_pixels(f, arr):
+    f.write(struct.pack("<B", arr.ndim))
+    write_uints(f, arr.shape)
+    f.write(arr.tobytes())
+
+
+def _read_pixels(f):
+    (ndim,) = struct.unpack("<B", f.read(1))
+    shape = read_uints(f, ndim)
+    n = int(np.prod(shape))
+    buf = f.read(n)
+    if len(buf) != n:
+        raise ValueError(f"expected {n} pixel bytes, got {len(buf)}")
+    return np.frombuffer(buf, np.uint8).reshape(shape)
+
+
+def _encode_response(out, video):
+    f = io.BytesIO()
+    if video:
+        # per GOP frame: keyframe -> one body; inter -> motion + residual
+        # bodies (the shapes mirror ScaleSpaceFlowCodec.compress output)
+        strings, shapes = out
+        write_uints(f, (len(strings),))
+        for frame_strings, frame_shape in zip(strings, shapes):
+            if isinstance(frame_strings, dict):
+                write_uchars(f, (2,))
+                for part in ("motion", "residual"):
+                    write_body(f, frame_shape[part], frame_strings[part])
+            else:
+                write_uchars(f, (1,))
+                write_body(f, frame_shape, frame_strings)
+    else:
+        write_body(f, out["shape"], out["strings"])
+    return f.getvalue()
+
+
+def _decode_request(f, video):
+    if video:
+        (n_frames,) = read_uints(f, 1)
+        strings, shapes = [], []
+        for _ in range(n_frames):
+            (n_bodies,) = read_uchars(f, 1)
+            if n_bodies == 2:
+                mshape, mstrings = read_body(f)
+                rshape, rstrings = read_body(f)
+                strings.append({"motion": mstrings, "residual": rstrings})
+                shapes.append({"motion": mshape, "residual": rshape})
+            else:
+                shape, groups = read_body(f)
+                strings.append(groups)
+                shapes.append(shape)
+        return strings, shapes
+    shape, groups = read_body(f)
+    return groups, shape
+
+
+def make_server(codec, meta, host="127.0.0.1", port=0):
+    """Build a ThreadingHTTPServer serving `codec`. `meta` is the bundle
+    meta dict (or a {"family", "input_shape"}-shaped equivalent for a
+    live codec; input_shape None means any shape the codec accepts)."""
+    video = meta.get("family") == "video"
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *_a):  # quiet by default; errors still raise
+            pass
+
+        def _reply(self, code, body, ctype="application/octet-stream"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return io.BytesIO(self.rfile.read(n))
+
+        def do_GET(self):
+            if self.path != "/meta":
+                return self._reply(404, b"not found", "text/plain")
+            self._reply(200, json.dumps(meta).encode(), "application/json")
+
+        def do_POST(self):
+            try:
+                if self.path == "/compress":
+                    x = _read_pixels(self._body())
+                    with lock:
+                        out = codec.compress(x)
+                    return self._reply(200, _encode_response(out, video))
+                if self.path == "/decompress":
+                    strings, shapes = _decode_request(self._body(), video)
+                    with lock:
+                        rec = codec.decompress(strings, shapes, u8=True)
+                    arr = rec if video else rec["x_hat"]
+                    f = io.BytesIO()
+                    _write_pixels(f, np.asarray(arr))
+                    return self._reply(200, f.getvalue())
+                return self._reply(404, b"not found", "text/plain")
+            except (ValueError, RuntimeError, struct.error) as e:
+                return self._reply(400, str(e).encode(), "text/plain")
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def _parse_args(argv):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        "lmic-serve",
+        description="Serve a codec's uint8 fast path over HTTP "
+                    "(AOT bundle or updated checkpoint).",
+    )
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--bundle", help="AOT serving bundle directory "
+                                      "(utils/aot.py)")
+    src.add_argument("--checkpoint", help="updated deployment checkpoint "
+                                          "(lmic-update-model output)")
+    p.add_argument("-a", "--arch", help="architecture (checkpoint mode)")
+    p.add_argument("-q", "--quality", type=int, default=1)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8752)
+    return p.parse_args(argv)
+
+
+# archs with a standalone compress(x)/decompress(..., u8=True) surface;
+# master/_D/guided need side inputs or lack the uint8 decode path
+SERVABLE_ARCHS = {
+    "bmshj2018-factorized", "bmshj2018-hyperprior", "mbt2018-mean",
+    "mbt2018", "cheng2020-anchor", "cheng2020-attn", "ssf2020",
+}
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    if args.bundle:
+        from lmic_tpu.utils.aot import load_serving_bundle
+
+        codec = load_serving_bundle(args.bundle)
+        meta = dict(codec.bundle_meta)
+    else:
+        if not args.arch:
+            raise SystemExit("--checkpoint mode needs --arch")
+        if args.arch not in SERVABLE_ARCHS:
+            raise SystemExit(
+                f"{args.arch} is not servable (needs side inputs or has "
+                f"no uint8 decode path); servable: "
+                f"{sorted(SERVABLE_ARCHS)}"
+            )
+        import jax
+
+        from lmic_tpu import zoo
+        from lmic_tpu.utils.checkpoint import load_updated_model
+
+        if args.arch == "ssf2020":
+            codec = zoo.create_video_model(
+                args.arch, args.quality, key=jax.random.key(0)
+            )
+        else:
+            codec = zoo.create_model(
+                args.arch, args.quality, key=jax.random.key(0)
+            )
+        load_updated_model(args.checkpoint, codec)
+        meta = {
+            "family": "video" if args.arch == "ssf2020" else "image",
+            "input_shape": None,
+            "arch": args.arch,
+            "quality": args.quality,
+        }
+    server = make_server(codec, meta, args.host, args.port)
+    host, port = server.server_address[:2]
+    print(f"lmic-serve: {meta.get('family')} codec on http://{host}:{port} "
+          "(POST /compress, POST /decompress, GET /meta)", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover - interactive stop
+        pass
+    finally:
+        server.server_close()

@@ -1,0 +1,194 @@
+"""lmic-serve HTTP daemon: roundtrips over a real socket are bit-equal
+to direct codec calls, for both a live codec and an AOT bundle, image
+and video families; malformed requests get 400s, not crashes."""
+
+import http.client
+import io
+import json
+import struct
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from lmic_tpu import zoo
+from lmic_tpu.utils.serve import (
+    _read_pixels,
+    _write_pixels,
+    make_server,
+)
+
+SHAPE = (2, 64, 64, 3)
+
+
+def _pixels(shape=SHAPE, seed=0):
+    return (np.random.default_rng(seed).random(shape) * 255).astype(
+        np.uint8
+    )
+
+
+@pytest.fixture(scope="module")
+def served_image():
+    codec = zoo.create_model(
+        "bmshj2018-factorized", 1, key=jax.random.key(0),
+        input_size=SHAPE[1:3],
+    )
+    codec.update(force=True)
+    server = make_server(
+        codec, {"family": "factorized", "input_shape": list(SHAPE)}
+    )
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield codec, server.server_address[1]
+    server.shutdown()
+    server.server_close()
+
+
+def _post(port, path, payload):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("POST", path, body=payload)
+    resp = conn.getresponse()
+    body = resp.read()
+    conn.close()
+    return resp.status, body
+
+
+def _pixel_payload(x):
+    f = io.BytesIO()
+    _write_pixels(f, x)
+    return f.getvalue()
+
+
+class TestImageServing:
+    def test_meta(self, served_image):
+        _, port = served_image
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/meta")
+        resp = conn.getresponse()
+        meta = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200
+        assert meta["family"] == "factorized"
+        assert tuple(meta["input_shape"]) == SHAPE
+
+    def test_roundtrip_bit_equal(self, served_image):
+        codec, port = served_image
+        x = _pixels()
+        want = codec.compress(x)
+        want_rec = codec.decompress(want["strings"], want["shape"], u8=True)
+
+        status, framed = _post(port, "/compress", _pixel_payload(x))
+        assert status == 200
+        status, rec_payload = _post(port, "/decompress", framed)
+        assert status == 200
+        rec = _read_pixels(io.BytesIO(rec_payload))
+        np.testing.assert_array_equal(rec, want_rec["x_hat"])
+
+        # the served stream is the direct codec's stream, byte for byte
+        from lmic_tpu.utils.codec_cli import read_body
+
+        shape, groups = read_body(io.BytesIO(framed))
+        assert tuple(shape) == tuple(want["shape"])
+        assert groups == want["strings"]
+
+    def test_bad_requests(self, served_image):
+        _, port = served_image
+        status, body = _post(port, "/compress", b"\x04garbage")
+        assert status == 400
+        status, _ = _post(port, "/nope", b"")
+        assert status == 404
+        # truncated pixel payload
+        x = _pixels()
+        status, body = _post(port, "/compress", _pixel_payload(x)[:-7])
+        assert status == 400 and b"pixel bytes" in body
+
+
+class TestVideoServing:
+    GOP = (1, 2, 128, 128, 3)
+
+    def test_roundtrip_bit_equal(self):
+        codec = zoo.create_video_model(
+            "ssf2020", 1, key=jax.random.key(0), input_size=self.GOP[2:4]
+        )
+        codec.update(force=True)
+        server = make_server(
+            codec, {"family": "video", "input_shape": list(self.GOP)}
+        )
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = server.server_address[1]
+            frames = _pixels(self.GOP, seed=3)
+            want_s, want_sh = codec.compress(frames)
+            want_rec = codec.decompress(want_s, want_sh, u8=True)
+
+            status, framed = _post(port, "/compress",
+                                   _pixel_payload(frames))
+            assert status == 200
+            status, rec_payload = _post(port, "/decompress", framed)
+            assert status == 200
+            rec = _read_pixels(io.BytesIO(rec_payload))
+            np.testing.assert_array_equal(rec, want_rec)
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
+def test_aot_bundle_served(tmp_path):
+    """The deployment pairing: export an AOT bundle, load it without
+    model code, serve it — streams bit-equal to the live codec, and the
+    bundle's own guards surface as 400s."""
+    from lmic_tpu.utils.aot import export_serving_bundle, \
+        load_serving_bundle
+
+    live = zoo.create_model(
+        "bmshj2018-hyperprior", 1, key=jax.random.key(0),
+        input_size=SHAPE[1:3],
+    )
+    live.update(force=True)
+    x = _pixels(seed=5)
+    want = live.compress(x)
+    bundle = str(tmp_path / "bundle")
+    export_serving_bundle(live, bundle, SHAPE)
+    served_codec = load_serving_bundle(bundle)
+    server = make_server(served_codec, dict(served_codec.bundle_meta))
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        status, framed = _post(port, "/compress", _pixel_payload(x))
+        assert status == 200
+        from lmic_tpu.utils.codec_cli import read_body
+
+        _, groups = read_body(io.BytesIO(framed))
+        assert groups == want["strings"]
+        # wrong shape trips the bundle's fixed-shape guard -> 400
+        status, body = _post(
+            port, "/compress", _pixel_payload(_pixels((1,) + SHAPE[1:]))
+        )
+        assert status == 400 and b"fixed to input shape" in body
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_pixel_framing_roundtrip():
+    x = _pixels((3, 5, 7, 3), seed=9)
+    f = io.BytesIO()
+    _write_pixels(f, x)
+    f.seek(0)
+    np.testing.assert_array_equal(_read_pixels(f), x)
+
+
+def test_unservable_arch_rejected():
+    from lmic_tpu.utils.serve import main
+
+    with pytest.raises(SystemExit, match="not servable"):
+        main(["--checkpoint", "/nonexistent", "-a", "master"])
+
+
+def test_truncated_framing_is_error():
+    f = io.BytesIO(struct.pack("<B", 4) + b"\x00" * 4)
+    with pytest.raises(Exception):
+        _read_pixels(f)
