@@ -7,14 +7,16 @@ Pairs naturally with AOT serving bundles (utils/aot.py) — one bundle
 directory per (arch, quality, shape) — but also serves a live updated
 checkpoint. stdlib-only (http.server), so it runs in any worker image.
 
-Wire format (little-endian, mirroring the container helpers in
-utils/codec_cli.py):
+Wire format (big-endian, the same struct notation as the container
+helpers in utils/codec_cli.py that do the body framing):
 
   POST /compress   request : u8 ndim, ndim x u32 dims, raw uint8 pixels
                    response: image family -> one body
                              (write_body: u32 h, w; u8 n_groups; per
                              group u8 n, per string u32 len + bytes);
-                             video -> u32 n_legs, then one body per leg
+                             video -> u32 n_frames, then per frame a
+                             u8 body count followed by 1 body (keyframe)
+                             or 2 bodies (inter: motion, residual)
   POST /decompress request : the /compress response, echoed back
                    response: u8 ndim, ndim x u32 dims, raw uint8 pixels
   GET  /meta       response: JSON {family, input_shape, ...}
@@ -28,7 +30,6 @@ from __future__ import annotations
 
 import io
 import json
-import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -47,13 +48,13 @@ __all__ = ["make_server", "main"]
 
 
 def _write_pixels(f, arr):
-    f.write(struct.pack("<B", arr.ndim))
+    write_uchars(f, (arr.ndim,))
     write_uints(f, arr.shape)
     f.write(arr.tobytes())
 
 
 def _read_pixels(f):
-    (ndim,) = struct.unpack("<B", f.read(1))
+    (ndim,) = read_uchars(f, 1)
     shape = read_uints(f, ndim)
     n = int(np.prod(shape))
     buf = f.read(n)
@@ -147,8 +148,13 @@ def make_server(codec, meta, host="127.0.0.1", port=0):
                     _write_pixels(f, np.asarray(arr))
                     return self._reply(200, f.getvalue())
                 return self._reply(404, b"not found", "text/plain")
-            except (ValueError, RuntimeError, struct.error) as e:
-                return self._reply(400, str(e).encode(), "text/plain")
+            except Exception as e:  # noqa: BLE001
+                # map ANY failure to a protocol-valid 400 (malformed
+                # framing reaches the codec as assert/Type/IndexError,
+                # not just ValueError) instead of killing the connection
+                return self._reply(
+                    400, f"{type(e).__name__}: {e}".encode(), "text/plain"
+                )
 
     return ThreadingHTTPServer((host, port), Handler)
 
@@ -181,6 +187,34 @@ SERVABLE_ARCHS = {
 }
 
 
+def load_checkpoint_codec(checkpoint, arch, quality):
+    """Build the serving codec for --checkpoint mode: a zoo codec with
+    the deployment checkpoint's weights AND baked coding state installed
+    (load_updated_model returns a NEW codec; the template is discarded)."""
+    if arch not in SERVABLE_ARCHS:
+        raise SystemExit(
+            f"{arch} is not servable (needs side inputs or has no uint8 "
+            f"decode path); servable: {sorted(SERVABLE_ARCHS)}"
+        )
+    import jax
+
+    from lmic_tpu import zoo
+    from lmic_tpu.utils.checkpoint import load_updated_model
+
+    if arch == "ssf2020":
+        codec = zoo.create_video_model(arch, quality, key=jax.random.key(0))
+    else:
+        codec = zoo.create_model(arch, quality, key=jax.random.key(0))
+    codec = load_updated_model(checkpoint, codec)
+    meta = {
+        "family": "video" if arch == "ssf2020" else "image",
+        "input_shape": None,
+        "arch": arch,
+        "quality": quality,
+    }
+    return codec, meta
+
+
 def main(argv=None):
     args = _parse_args(argv)
     if args.bundle:
@@ -191,32 +225,9 @@ def main(argv=None):
     else:
         if not args.arch:
             raise SystemExit("--checkpoint mode needs --arch")
-        if args.arch not in SERVABLE_ARCHS:
-            raise SystemExit(
-                f"{args.arch} is not servable (needs side inputs or has "
-                f"no uint8 decode path); servable: "
-                f"{sorted(SERVABLE_ARCHS)}"
-            )
-        import jax
-
-        from lmic_tpu import zoo
-        from lmic_tpu.utils.checkpoint import load_updated_model
-
-        if args.arch == "ssf2020":
-            codec = zoo.create_video_model(
-                args.arch, args.quality, key=jax.random.key(0)
-            )
-        else:
-            codec = zoo.create_model(
-                args.arch, args.quality, key=jax.random.key(0)
-            )
-        load_updated_model(args.checkpoint, codec)
-        meta = {
-            "family": "video" if args.arch == "ssf2020" else "image",
-            "input_shape": None,
-            "arch": args.arch,
-            "quality": args.quality,
-        }
+        codec, meta = load_checkpoint_codec(
+            args.checkpoint, args.arch, args.quality
+        )
     server = make_server(codec, meta, args.host, args.port)
     host, port = server.server_address[:2]
     print(f"lmic-serve: {meta.get('family')} codec on http://{host}:{port} "

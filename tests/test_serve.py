@@ -102,6 +102,15 @@ class TestImageServing:
         x = _pixels()
         status, body = _post(port, "/compress", _pixel_payload(x)[:-7])
         assert status == 400 and b"pixel bytes" in body
+        # a well-formed frame the codec itself rejects (two string
+        # groups on a factorized codec) must come back as a 400, not a
+        # killed connection
+        f = io.BytesIO()
+        from lmic_tpu.utils.codec_cli import write_body
+
+        write_body(f, (4, 4), [[b"ab"], [b"cd"]])
+        status, body = _post(port, "/decompress", f.getvalue())
+        assert status == 400
 
 
 class TestVideoServing:
@@ -186,6 +195,42 @@ def test_unservable_arch_rejected():
 
     with pytest.raises(SystemExit, match="not servable"):
         main(["--checkpoint", "/nonexistent", "-a", "master"])
+
+
+def test_checkpoint_mode_serves_updated_codec(tmp_path):
+    """--checkpoint mode must serve the checkpoint's weights AND baked
+    coding state (load_updated_model returns a new codec; discarding the
+    return served a random-init codec and 400'd every request)."""
+    from lmic_tpu.utils.checkpoint import update_model_file
+    from lmic_tpu.utils.serve import load_checkpoint_codec
+
+    live = zoo.create_model(
+        "bmshj2018-factorized", 1, key=jax.random.key(0),
+        input_size=SHAPE[1:3],
+    )
+    live.update(force=True)
+    out = update_model_file(
+        "unused.ckpt", str(tmp_path), live, "bmshj2018-factorized-q1",
+        update=False,
+    )
+    codec, meta = load_checkpoint_codec(out, "bmshj2018-factorized", 1)
+    assert meta["family"] == "image"
+    x = _pixels(seed=11)
+    want = live.compress(x)
+    server = make_server(codec, meta)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = server.server_address[1]
+        status, framed = _post(port, "/compress", _pixel_payload(x))
+        assert status == 200
+        from lmic_tpu.utils.codec_cli import read_body
+
+        _, groups = read_body(io.BytesIO(framed))
+        assert groups == want["strings"]
+    finally:
+        server.shutdown()
+        server.server_close()
 
 
 def test_truncated_framing_is_error():
