@@ -21,6 +21,12 @@ helpers in utils/codec_cli.py that do the body framing):
                    response: u8 ndim, ndim x u32 dims, raw uint8 pixels
   GET  /meta       response: JSON {family, input_shape, ...}
 
+RGBT pair serving (family "rgbt", the paper's guided/master models):
+/compress takes TWO pixel blocks (master, then guide) and returns the
+master body + 64 f32 beta + 64 f32 gamma (the guide stream is not
+transmitted — reference convention); /decompress takes that payload
+with the guide pixel block appended and returns the master pixels.
+
 Requests are serialized through one lock: the codec owns device buffers
 and a host coder worker, so concurrency comes from batching (the B axis
 of the served shape), not from racing requests.
@@ -37,9 +43,11 @@ import numpy as np
 
 from lmic_tpu.utils.codec_cli import (
     read_body,
+    read_floats,
     read_uchars,
     read_uints,
     write_body,
+    write_floats,
     write_uchars,
     write_uints,
 )
@@ -103,11 +111,88 @@ def _decode_request(f, video):
     return groups, shape
 
 
+def _codec_handlers(codec, video):
+    """compress/decompress closures for a single codec (image/video)."""
+
+    def compress(f):
+        x = _read_pixels(f)
+        out = codec.compress(x)
+        return _encode_response(out, video)
+
+    def decompress(f):
+        strings, shapes = _decode_request(f, video)
+        rec = codec.decompress(strings, shapes, u8=True)
+        arr = rec if video else rec["x_hat"]
+        out = io.BytesIO()
+        _write_pixels(out, np.asarray(arr))
+        return out.getvalue()
+
+    return compress, decompress
+
+
+def _rgbt_handlers(guided_codec, master_codec):
+    """RGBT pair serving (the paper's flagship guided/master models).
+    The guide is coded + decoded on BOTH legs and its stream is NOT part
+    of the master payload (the reference's decoder re-codes the guide
+    from its own source, codec_rgbt.py:538-544) — so the decompress
+    request carries the guide pixels again. Pixels cross as uint8 and
+    are normalized here; the guided hidden-tap path is float-only."""
+
+    def as_float(pix):
+        return pix.astype(np.float32) / 255.0
+
+    def code_guide(f):
+        guide = as_float(_read_pixels(f))
+        g_out = guided_codec.compress(guide)
+        return guided_codec.decompress(g_out["strings"], g_out["shape"])
+
+    def compress(f):
+        x = as_float(_read_pixels(f))
+        g_dec = code_guide(f)
+        m_out = master_codec.compress(x, g_dec["x_hat"])
+        beta = np.asarray(m_out["beta"], np.float32).reshape(-1)
+        gamma = np.asarray(m_out["gamma"], np.float32).reshape(-1)
+        assert beta.size == 64 and gamma.size == 64  # aligner width
+        out = io.BytesIO()
+        write_body(out, m_out["shape"], m_out["strings"])
+        write_floats(out, beta.tolist())
+        write_floats(out, gamma.tolist())
+        return out.getvalue()
+
+    def decompress(f):
+        shape, strings = read_body(f)
+        beta = np.asarray(read_floats(f, 64), np.float32).reshape(
+            1, 1, 1, 64
+        )
+        gamma = np.asarray(read_floats(f, 64), np.float32).reshape(
+            1, 1, 1, 64
+        )
+        g_dec = code_guide(f)
+        rec = master_codec.decompress(
+            {"strings": strings, "shape": shape,
+             "beta": beta, "gamma": gamma},
+            g_dec,
+        )
+        arr = np.clip(np.asarray(rec["x_hat"]), 0.0, 1.0)
+        out = io.BytesIO()
+        _write_pixels(out, np.round(arr * 255.0).astype(np.uint8))
+        return out.getvalue()
+
+    return compress, decompress
+
+
 def make_server(codec, meta, host="127.0.0.1", port=0):
     """Build a ThreadingHTTPServer serving `codec`. `meta` is the bundle
     meta dict (or a {"family", "input_shape"}-shaped equivalent for a
-    live codec; input_shape None means any shape the codec accepts)."""
-    video = meta.get("family") == "video"
+    live codec; input_shape None means any shape the codec accepts).
+    family "rgbt" takes `codec` as a (guided_codec, master_codec) pair."""
+    family = meta.get("family")
+    if family == "rgbt":
+        compress_fn, decompress_fn = _rgbt_handlers(*codec)
+    else:
+        compress_fn, decompress_fn = _codec_handlers(
+            codec, family == "video"
+        )
     lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -135,18 +220,13 @@ def make_server(codec, meta, host="127.0.0.1", port=0):
         def do_POST(self):
             try:
                 if self.path == "/compress":
-                    x = _read_pixels(self._body())
                     with lock:
-                        out = codec.compress(x)
-                    return self._reply(200, _encode_response(out, video))
+                        return self._reply(200, compress_fn(self._body()))
                 if self.path == "/decompress":
-                    strings, shapes = _decode_request(self._body(), video)
                     with lock:
-                        rec = codec.decompress(strings, shapes, u8=True)
-                    arr = rec if video else rec["x_hat"]
-                    f = io.BytesIO()
-                    _write_pixels(f, np.asarray(arr))
-                    return self._reply(200, f.getvalue())
+                        return self._reply(
+                            200, decompress_fn(self._body())
+                        )
                 return self._reply(404, b"not found", "text/plain")
             except Exception as e:  # noqa: BLE001
                 # map ANY failure to a protocol-valid 400 (malformed
@@ -172,8 +252,15 @@ def _parse_args(argv):
                                       "(utils/aot.py)")
     src.add_argument("--checkpoint", help="updated deployment checkpoint "
                                           "(lmic-update-model output)")
-    p.add_argument("-a", "--arch", help="architecture (checkpoint mode)")
+    p.add_argument("-a", "--arch", help="architecture (checkpoint mode); "
+                                        "'master' serves the RGBT pair")
     p.add_argument("-q", "--quality", type=int, default=1)
+    p.add_argument("--guided-checkpoint",
+                   help="guided codec checkpoint (required with -a master; "
+                        "--checkpoint is then the master's)")
+    p.add_argument("--channel", type=int, default=1,
+                   help="master channel count for the RGBT pair (guide "
+                        "gets the complementary 4-channel modality)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8752)
     return p.parse_args(argv)
@@ -215,6 +302,25 @@ def load_checkpoint_codec(checkpoint, arch, quality):
     return codec, meta
 
 
+def load_rgbt_codecs(guided_checkpoint, master_checkpoint, quality,
+                     channel=1):
+    """Build the (guided, master) pair for RGBT serving; master takes
+    `channel` channels, the guide the complementary 4-channel modality
+    (eval CLI convention)."""
+    from lmic_tpu.utils.codec_cli import _build
+
+    guided = _build("guided", quality, guided_checkpoint,
+                    channel=4 - channel)
+    master = _build("master", quality, master_checkpoint, channel=channel)
+    meta = {
+        "family": "rgbt",
+        "input_shape": None,
+        "channel": channel,
+        "quality": quality,
+    }
+    return (guided, master), meta
+
+
 def main(argv=None):
     args = _parse_args(argv)
     if args.bundle:
@@ -222,6 +328,13 @@ def main(argv=None):
 
         codec = load_serving_bundle(args.bundle)
         meta = dict(codec.bundle_meta)
+    elif args.arch == "master":
+        if not args.guided_checkpoint:
+            raise SystemExit("-a master needs --guided-checkpoint")
+        codec, meta = load_rgbt_codecs(
+            args.guided_checkpoint, args.checkpoint, args.quality,
+            args.channel,
+        )
     else:
         if not args.arch:
             raise SystemExit("--checkpoint mode needs --arch")

@@ -144,6 +144,93 @@ class TestVideoServing:
             server.server_close()
 
 
+class TestRGBTServing:
+    """The paper's guided/master pair over HTTP: guide pixels travel on
+    BOTH legs (the guide stream is not part of the master payload —
+    reference convention), streams and recon bit-equal to direct calls."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        import jax.numpy as jnp
+
+        from lmic_tpu.models.rgbt import (
+            GuidedCodec,
+            GuidedCompresser,
+            MasterCodec,
+            MasterCompresser,
+        )
+
+        guided = GuidedCompresser(N=32, M=48, channel=1, first_stride=2)
+        xg = jax.random.uniform(jax.random.key(0), (1, 64, 64, 1))
+        vg = guided.init(
+            {"params": jax.random.key(1), "noise": jax.random.key(2)}, xg
+        )
+        gc = GuidedCodec(guided, vg)
+        gc.update(force=True)
+        g_out = gc.compress(xg)
+        g_dec = gc.decompress(g_out["strings"], g_out["shape"])
+        master = MasterCompresser(N=32, M=48, channel=3)
+        xm = jax.random.uniform(jax.random.key(4), (1, 128, 128, 3))
+        vm = master.init(
+            {"params": jax.random.key(5), "noise": jax.random.key(6)},
+            xm,
+            jnp.asarray(g_dec["x_hat"]),
+            jax.tree.map(jnp.asarray, g_dec["hidden"]),
+        )
+        mc = MasterCodec(master, vm)
+        mc.update(force=True)
+        return gc, mc
+
+    def test_roundtrip_bit_equal(self, pair):
+        gc, mc = pair
+        server = make_server(
+            pair, {"family": "rgbt", "input_shape": None, "channel": 3}
+        )
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            port = server.server_address[1]
+            xm_u8 = _pixels((1, 128, 128, 3), seed=20)
+            xg_u8 = _pixels((1, 64, 64, 1), seed=21)
+            xm = xm_u8.astype(np.float32) / 255.0
+            xg = xg_u8.astype(np.float32) / 255.0
+            # direct pair coding, exactly the server's orchestration
+            g_out = gc.compress(xg)
+            g_dec = gc.decompress(g_out["strings"], g_out["shape"])
+            m_out = mc.compress(xm, g_dec["x_hat"])
+            want_rec = mc.decompress(
+                {"strings": m_out["strings"], "shape": m_out["shape"],
+                 "beta": m_out["beta"], "gamma": m_out["gamma"]},
+                g_dec,
+            )
+
+            payload = _pixel_payload(xm_u8) + _pixel_payload(xg_u8)
+            status, framed = _post(port, "/compress", payload)
+            assert status == 200
+            from lmic_tpu.utils.codec_cli import read_body, read_floats
+
+            f = io.BytesIO(framed)
+            shape, strings = read_body(f)
+            assert strings == m_out["strings"]
+            beta = read_floats(f, 64)
+            np.testing.assert_allclose(
+                beta, np.asarray(m_out["beta"]).reshape(-1), rtol=1e-6
+            )
+
+            status, rec_payload = _post(
+                port, "/decompress", framed + _pixel_payload(xg_u8)
+            )
+            assert status == 200
+            rec = _read_pixels(io.BytesIO(rec_payload))
+            want_u8 = np.round(
+                np.clip(np.asarray(want_rec["x_hat"]), 0, 1) * 255.0
+            ).astype(np.uint8)
+            np.testing.assert_array_equal(rec, want_u8)
+        finally:
+            server.shutdown()
+            server.server_close()
+
+
 def test_aot_bundle_served(tmp_path):
     """The deployment pairing: export an AOT bundle, load it without
     model code, serve it — streams bit-equal to the live codec, and the
@@ -194,6 +281,9 @@ def test_unservable_arch_rejected():
     from lmic_tpu.utils.serve import main
 
     with pytest.raises(SystemExit, match="not servable"):
+        main(["--checkpoint", "/nonexistent", "-a", "mbt2018_D"])
+    # master IS servable, but only as the RGBT pair
+    with pytest.raises(SystemExit, match="guided-checkpoint"):
         main(["--checkpoint", "/nonexistent", "-a", "master"])
 
 
