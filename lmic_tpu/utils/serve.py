@@ -27,9 +27,10 @@ master body + 64 f32 beta + 64 f32 gamma (the guide stream is not
 transmitted — reference convention); /decompress takes that payload
 with the guide pixel block appended and returns the master pixels.
 
-Requests are serialized through one lock: the codec owns device buffers
-and a host coder worker, so concurrency comes from batching (the B axis
-of the served shape), not from racing requests.
+Requests are serialized through one lock (socket reads/writes stay
+outside it): the codec owns device buffers and a host coder worker, so
+concurrency comes from batching (the B axis of the served shape — the
+RGBT pair is served single-image), not from racing requests.
 """
 
 from __future__ import annotations
@@ -139,6 +140,12 @@ def _rgbt_handlers(guided_codec, master_codec):
     are normalized here; the guided hidden-tap path is float-only."""
 
     def as_float(pix):
+        # the pair is served single-image: beta/gamma are (B, 1, 1, 64)
+        # and the wire format carries exactly 64+64 floats
+        if pix.shape[0] != 1:
+            raise ValueError(
+                f"RGBT serving is single-image (B=1); got B={pix.shape[0]}"
+            )
         return pix.astype(np.float32) / 255.0
 
     def code_guide(f):
@@ -152,7 +159,11 @@ def _rgbt_handlers(guided_codec, master_codec):
         m_out = master_codec.compress(x, g_dec["x_hat"])
         beta = np.asarray(m_out["beta"], np.float32).reshape(-1)
         gamma = np.asarray(m_out["gamma"], np.float32).reshape(-1)
-        assert beta.size == 64 and gamma.size == 64  # aligner width
+        if beta.size != 64 or gamma.size != 64:  # aligner width
+            raise ValueError(
+                f"expected 64+64 beta/gamma floats, got "
+                f"{beta.size}+{gamma.size}"
+            )
         out = io.BytesIO()
         write_body(out, m_out["shape"], m_out["strings"])
         write_floats(out, beta.tolist())
@@ -219,15 +230,14 @@ def make_server(codec, meta, host="127.0.0.1", port=0):
 
         def do_POST(self):
             try:
-                if self.path == "/compress":
-                    with lock:
-                        return self._reply(200, compress_fn(self._body()))
-                if self.path == "/decompress":
-                    with lock:
-                        return self._reply(
-                            200, decompress_fn(self._body())
-                        )
-                return self._reply(404, b"not found", "text/plain")
+                fn = {"/compress": compress_fn,
+                      "/decompress": decompress_fn}.get(self.path)
+                if fn is None:
+                    return self._reply(404, b"not found", "text/plain")
+                body = self._body()  # socket read OUTSIDE the lock
+                with lock:  # the lock covers codec work only — a slow
+                    payload = fn(body)  # peer must not stall the server
+                return self._reply(200, payload)
             except Exception as e:  # noqa: BLE001
                 # map ANY failure to a protocol-valid 400 (malformed
                 # framing reaches the codec as assert/Type/IndexError,
@@ -331,6 +341,11 @@ def main(argv=None):
     elif args.arch == "master":
         if not args.guided_checkpoint:
             raise SystemExit("-a master needs --guided-checkpoint")
+        if args.channel not in (1, 3):
+            raise SystemExit(
+                f"--channel must be 1 or 3 (master modality; the guide "
+                f"gets the complementary 4-channel one), got {args.channel}"
+            )
         codec, meta = load_rgbt_codecs(
             args.guided_checkpoint, args.checkpoint, args.quality,
             args.channel,

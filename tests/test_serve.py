@@ -226,6 +226,15 @@ class TestRGBTServing:
                 np.clip(np.asarray(want_rec["x_hat"]), 0, 1) * 255.0
             ).astype(np.uint8)
             np.testing.assert_array_equal(rec, want_u8)
+            # batched pairs are rejected with a clear 400 (beta/gamma
+            # wire format is fixed at 64+64 floats)
+            xb = _pixels((2, 128, 128, 3), seed=22)
+            status, body = _post(
+                port, "/compress",
+                _pixel_payload(np.repeat(xm_u8, 2, axis=0))
+                + _pixel_payload(xb),
+            )
+            assert status == 400 and b"single-image" in body
         finally:
             server.shutdown()
             server.server_close()
@@ -285,6 +294,9 @@ def test_unservable_arch_rejected():
     # master IS servable, but only as the RGBT pair
     with pytest.raises(SystemExit, match="guided-checkpoint"):
         main(["--checkpoint", "/nonexistent", "-a", "master"])
+    with pytest.raises(SystemExit, match="channel must be 1 or 3"):
+        main(["--checkpoint", "/nonexistent", "-a", "master",
+              "--guided-checkpoint", "/nonexistent", "--channel", "4"])
 
 
 def test_checkpoint_mode_serves_updated_codec(tmp_path):
