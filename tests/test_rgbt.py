@@ -153,6 +153,45 @@ class TestMaster:
         assert dm["x_hat"].shape == xm.shape
         assert np.all(dm["x_hat"] >= 0) and np.all(dm["x_hat"] <= 1)
 
+    def test_master_fanout_matches_single_device(self, master_setup,
+                                                 guided_pair):
+        """MasterCodec inherits the per-image AR fan-out through
+        JointARCodec (shard_codec routes it the same way as guided);
+        streams, beta/gamma and recon must be bit-equal to
+        single-device, completing the pair's multi-device story."""
+        from lmic_tpu.parallel import make_mesh, shard_codec
+
+        codec, _, _ = master_setup
+        gcodec, _ = guided_pair
+        xg = np.asarray(
+            jax.random.uniform(jax.random.key(8), (2, 64, 64, 1))
+        )
+        g_out = gcodec.compress(xg)
+        dec_g = gcodec.decompress(g_out["strings"], g_out["shape"])
+        xm = np.asarray(
+            jax.random.uniform(jax.random.key(9), (2, 128, 128, 3))
+        )
+        single = codec.compress(xm, dec_g["x_hat"])
+        rec_single = codec.decompress(single, dec_g)
+
+        shard_codec(codec, make_mesh(2))
+        try:
+            fanned = codec.compress(xm, dec_g["x_hat"])
+            assert fanned["strings"] == single["strings"]
+            np.testing.assert_array_equal(
+                np.asarray(fanned["beta"]), np.asarray(single["beta"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(fanned["gamma"]), np.asarray(single["gamma"])
+            )
+            rec_fan = codec.decompress(fanned, dec_g)
+            np.testing.assert_array_equal(
+                np.asarray(rec_fan["x_hat"]),
+                np.asarray(rec_single["x_hat"]),
+            )
+        finally:
+            codec._fanout_devices = None
+
     def test_decode_reconstructs_encoder_y_hat(self, master_setup):
         codec, xm, dec_g = master_setup
         x_feature, guided_align, beta, gamma = jax.device_get(
