@@ -456,6 +456,9 @@ def main():
         # LAST JSON line, and a full run (compiles included) can outlive
         # an external timeout — a truncated run must still end on a valid
         # geomean over the configs that completed
+        emit_geomean()
+
+    def emit_geomean():
         speedups = [m / BASELINES[n][0] for n, (m, _) in results.items()]
         geomean = float(np.exp(np.mean(np.log(speedups))))
         print(json.dumps({
@@ -495,27 +498,29 @@ def main():
             results[name] = got
             emit(name, *got, revisit=True)
 
+    train_ok = True
     if "train" in selected:
         try:
             print(json.dumps(bench_train_step()), flush=True)
         except Exception as e:  # pragma: no cover - keep the bench alive
+            train_ok = False
             print(f"train_step bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    if not results:
-        print(json.dumps({"metric": "encdec_speedup_geomean",
-                          "value": None, "unit": "x", "vs_baseline": None}))
+    if results:
+        # the LAST line stays the geomean headline
+        emit_geomean()
+        return
+    if any(n in selected for n in runners):
+        # codec configs were requested but none produced a measurement
+        print(json.dumps({
+            "metric": "encdec_speedup_geomean_vs_cpu_reference",
+            "value": None, "unit": "x", "vs_baseline": None,
+            "n_configs": 0,
+        }))
         return 1
-    # the LAST line stays the geomean headline
-    speedups = [m / BASELINES[n][0] for n, (m, _) in results.items()]
-    geomean = float(np.exp(np.mean(np.log(speedups))))
-    print(json.dumps({
-        "metric": "encdec_speedup_geomean_vs_cpu_reference",
-        "value": round(geomean, 2),
-        "unit": "x",
-        "vs_baseline": round(geomean, 2),
-        "n_configs": len(speedups),
-    }), flush=True)
+    # train-only run: the train_step line above is the last JSON line
+    return 0 if train_ok else 1
 
 
 if __name__ == "__main__":

@@ -269,6 +269,30 @@ def _restrict_to_u8(codec, meta):
     codec.compress_async = lambda x: inner_ca(check_x(x))
 
     inner_d = codec.decompress
+    # the decode-side analogue of check_x: the exported graphs are fixed
+    # to the latent geometry of `input_shape`, so a wrong `shape` (or a
+    # wrong per-stream batch count) must fail with a clear ValueError
+    # here, not a deep jax.export shape mismatch
+    if meta["family"] == "factorized":
+        dec_shape = (-(-fixed[1] // 16), -(-fixed[2] // 16))
+    elif meta["family"] == "hyperprior":
+        dec_shape = (-(-fixed[1] // 64), -(-fixed[2] // 64))
+    else:
+        dec_shape = None
+
+    def check_strings(strings, shape):
+        if dec_shape is None:  # video: per-frame strings/shape structure
+            return
+        if tuple(map(int, shape)) != dec_shape:
+            raise ValueError(
+                f"bundle is fixed to input shape {meta['input_shape']} "
+                f"(latent shape {list(dec_shape)}); got shape {list(shape)}"
+            )
+        if any(len(part) != fixed[0] for part in strings):
+            raise ValueError(
+                f"bundle is fixed to batch size {fixed[0]}; got "
+                f"{[len(p) for p in strings]} streams"
+            )
 
     def decompress(strings, shape, u8=False):
         # default False mirrors the class signature; the rare non-int8
@@ -280,9 +304,18 @@ def _restrict_to_u8(codec, meta):
                 "AOT serving bundle decodes the uint8 fast path only "
                 "(pass u8=True; escape fallbacks need the live codec)"
             )
+        check_strings(strings, shape)
         return inner_d(strings, shape, u8=True)
 
     codec.decompress = decompress
+    if dec_shape is not None:
+        inner_ida = codec.decompress_async
+
+        def image_decompress_async(strings, shape):
+            check_strings(strings, shape)
+            return inner_ida(strings, shape)
+
+        codec.decompress_async = image_decompress_async
     if meta["family"] == "video":
         inner_da = codec.decompress_async
 

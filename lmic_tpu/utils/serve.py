@@ -230,11 +230,14 @@ def make_server(codec, meta, host="127.0.0.1", port=0):
 
         def do_POST(self):
             try:
+                # drain the body BEFORE routing: on HTTP/1.1 keep-alive a
+                # 404 that leaves Content-Length bytes unread would desync
+                # the next request on the same socket
+                body = self._body()  # socket read OUTSIDE the lock
                 fn = {"/compress": compress_fn,
                       "/decompress": decompress_fn}.get(self.path)
                 if fn is None:
                     return self._reply(404, b"not found", "text/plain")
-                body = self._body()  # socket read OUTSIDE the lock
                 with lock:  # the lock covers codec work only — a slow
                     payload = fn(body)  # peer must not stall the server
                 return self._reply(200, payload)

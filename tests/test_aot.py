@@ -184,6 +184,26 @@ class TestBundleGuards:
         with pytest.raises(RuntimeError, match="frozen"):
             served.update(force=True)
 
+    def test_wrong_decompress_geometry_rejected(self, tmp_path):
+        live = _live("bmshj2018-factorized")
+        bundle = str(tmp_path / "bundle")
+        export_serving_bundle(live, bundle, SHAPE)
+        served = load_serving_bundle(bundle)
+        out = served.compress(_pixels())
+        # wrong latent shape: clear ValueError, not a jax.export failure
+        with pytest.raises(ValueError, match="latent shape"):
+            served.decompress(out["strings"], (5, 5), u8=True)
+        with pytest.raises(ValueError, match="latent shape"):
+            served.decompress_async(out["strings"], (5, 5))
+        # wrong stream batch count
+        with pytest.raises(ValueError, match="batch size"):
+            served.decompress(
+                [out["strings"][0][:1]], out["shape"], u8=True
+            )
+        # the valid geometry still decodes
+        rec = served.decompress(out["strings"], out["shape"], u8=True)
+        assert rec["x_hat"].shape == SHAPE
+
     def test_ar_codec_rejected(self, tmp_path):
         live = _live("mbt2018")
         with pytest.raises(ValueError, match="io_callback"):

@@ -73,3 +73,48 @@ def test_geomean_matches_headline_formula():
     speedups = [10.0, 20.0, 40.0]
     geomean = float(np.exp(np.mean(np.log(speedups))))
     assert geomean == pytest.approx(20.0, rel=1e-12)
+
+
+def _run_main(monkeypatch, capsys, configs, **patches):
+    monkeypatch.setenv("LMIC_BENCH_CONFIGS", configs)
+    monkeypatch.setattr(bench, "_probe_tpu", lambda: True)
+    monkeypatch.setattr(bench, "wait_for_link", lambda probe_mb=8: 50.0)
+    for name, fn in patches.items():
+        monkeypatch.setattr(bench, name, fn)
+    rc = bench.main()
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    import json
+
+    return rc, [json.loads(ln) for ln in lines]
+
+
+def test_main_train_only_exits_zero(monkeypatch, capsys):
+    # LMIC_BENCH_CONFIGS=train: no codec configs selected -> no null
+    # geomean line, exit 0, train line is the LAST JSON line
+    rc, lines = _run_main(
+        monkeypatch, capsys, "train",
+        bench_train_step=lambda: {"metric": "train_step_time",
+                                  "value": 1.0, "unit": "ms"},
+    )
+    assert rc == 0
+    assert lines[-1]["metric"] == "train_step_time"
+
+
+def test_main_train_only_failure_exits_one(monkeypatch, capsys):
+    def boom():
+        raise RuntimeError("no device")
+
+    rc, _ = _run_main(monkeypatch, capsys, "train", bench_train_step=boom)
+    assert rc == 1
+
+
+def test_main_codec_selected_but_failed_exits_one(monkeypatch, capsys):
+    def boom(name):
+        raise RuntimeError("no device")
+
+    rc, lines = _run_main(
+        monkeypatch, capsys, "bmshj2018-factorized", bench_pipelined=boom
+    )
+    assert rc == 1
+    assert lines[-1]["metric"] == "encdec_speedup_geomean_vs_cpu_reference"
+    assert lines[-1]["value"] is None

@@ -92,6 +92,24 @@ class TestImageServing:
         assert tuple(shape) == tuple(want["shape"])
         assert groups == want["strings"]
 
+    def test_keepalive_survives_404_with_body(self, served_image):
+        # HTTP/1.1 keep-alive: a 404 on a POST with a large body must
+        # drain the body, or the next request on the same socket parses
+        # from the unread bytes and desyncs
+        _, port = served_image
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        try:
+            conn.request("POST", "/compres", body=_pixel_payload(_pixels()))
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.status == 404
+            conn.request("POST", "/compress", body=_pixel_payload(_pixels()))
+            resp = conn.getresponse()
+            resp.read()
+            assert resp.status == 200
+        finally:
+            conn.close()
+
     def test_bad_requests(self, served_image):
         _, port = served_image
         status, body = _post(port, "/compress", b"\x04garbage")
