@@ -133,6 +133,11 @@ class CdfTable:
         cached = getattr(self, "_lut", None)
         if cached is not None:
             return cached if cached is not False else None
+        if os.environ.get("LMIC_RANS_LUT") == "0":
+            # decode falls back to the pure binary-search C path; same
+            # bytes in/out, just slower — a debug/AB switch
+            self._lut = False
+            return None
         rows = self.cdf.shape[0]
         lib = _load()
         lut = np.empty((rows, self._LUT_SPAN), dtype=np.uint16)

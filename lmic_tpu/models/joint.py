@@ -445,7 +445,11 @@ class JointARCodec(CompressionCodec):
         scan = self._get_encode_scan(H, W)
 
         def encode_one(i, dev=None):
-            yi, pi = jnp.asarray(y[i]), params[i]
+            # y[i] stays a host array: the scan wrapper (or fanout's
+            # device_put below) places it directly on the scan device —
+            # jnp.asarray here would bounce it through the default device,
+            # paying two link crossings in the tunnel/CPU-scan mode
+            yi, pi = y[i], params[i]
             if dev is not None:
                 yi = jax.device_put(yi, dev)
                 pi = jax.device_put(pi, dev)

@@ -376,6 +376,12 @@ class GuidedCompresser(JointAutoregressiveHierarchicalPriors):
 
     first_stride: int = 2
 
+    @property
+    def downsampling_factor(self) -> int:
+        # first conv at `first_stride`, 3 more stride-2 convs, hyper /4:
+        # streams only roundtrip when H, W divide first_stride * 32
+        return 32 * self.first_stride
+
     def _make_g_a(self):
         return GuidedEncoder(N=self.N, M=self.M,
                              first_stride=self.first_stride)
@@ -529,6 +535,11 @@ class MasterCompresser(JointAutoregressiveHierarchicalPriors):
         return dict(master_chl=3, guided_chl=1, master_stride=2,
                     guided_stride=1)
 
+    @property
+    def downsampling_factor(self) -> int:
+        # FeatureEncoder at master_stride, g_a 4 stride-2 convs, hyper /4
+        return 64 * self._roles()["master_stride"]
+
     def _make_g_a(self):
         return nn.Sequential([
             Conv(self.N), GDN(),
@@ -642,6 +653,21 @@ class MasterCodec(JointARCodec):
 
     def compress(self, x, guided_hat):
         self._check_updated()
+        self._check_dims(x)
+        # both feature encoders must land on the SAME grid: master/ms ==
+        # guide/gs, so the guide must sit at master * gs / ms resolution
+        # (channel=1: guide 2x; channel=3: guide at half) or the
+        # SpatialAligner/ChannelAligner grids desync
+        roles = self.module._roles()
+        H, W = int(x.shape[1]), int(x.shape[2])
+        gH = H * roles["guided_stride"] // roles["master_stride"]
+        gW = W * roles["guided_stride"] // roles["master_stride"]
+        if tuple(map(int, guided_hat.shape[1:3])) != (gH, gW):
+            raise ValueError(
+                f"guide reconstruction must be ({gH}, {gW}) for a "
+                f"({H}, {W}) master at channel={self.module.channel}; got "
+                f"{tuple(map(int, guided_hat.shape[1:3]))}"
+            )
         # feature/alignment chain stays on device; only (y, z) cross for
         # the host coder, and beta/gamma as transmitted side info
         x_feature, guided_align, beta, gamma = self._features(

@@ -83,6 +83,24 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
     if not hasattr(codec, "_build_u8_fns"):
         raise ValueError(f"{type(codec).__name__} has no u8 fast path")
     codec._build_u8_fns()
+    _apply_codec_sharding(codec, mesh, axis)
+    # state invalidation (update(force=True), reference-table adoption)
+    # deletes the fast-path jits and the next compress rebuilds them via
+    # _build_u8_fns — shadow the method on the instance so every rebuild
+    # re-applies the sharding instead of silently reverting to one device
+    if not hasattr(codec, "_shard_spec"):
+        inner_build = codec._build_u8_fns
+
+        def build_and_shard():
+            inner_build()
+            _apply_codec_sharding(codec, *codec._shard_spec)
+
+        codec._build_u8_fns = build_and_shard
+    codec._shard_spec = (mesh, axis)
+    return codec
+
+
+def _apply_codec_sharding(codec, mesh: Mesh, axis: str) -> None:
     data = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
     # per-jit input shardings: batch-dim arrays shard over `axis`, scalars
@@ -105,4 +123,3 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
         # remaining args (means etc.) keep their natural shardings
         inner = fn.__wrapped__
         setattr(codec, name, jax.jit(inner, in_shardings=shardings))
-    return codec

@@ -263,6 +263,26 @@ def encode_rgbt(master_path, guide_path, output_path, guided_codec,
     (eval CLI convention: master=channel, guide=4-channel)."""
     x = _load(master_path, channel=channel)
     guided = _load(guide_path, channel=4 - channel)
+    # the RGBT container stores no padding geometry (reference convention:
+    # codec_rgbt.py hard-wires aligned sizes), so reject bad dimensions
+    # loudly instead of writing a stream that desyncs on decode
+    factor = master_codec.module.downsampling_factor
+    H, W = x.shape[1:3]
+    if H % factor or W % factor:
+        raise SystemExit(
+            f"master image must be a multiple of {factor} in both "
+            f"dimensions at channel={channel}; got {H}x{W} — crop or "
+            "resize first"
+        )
+    roles = master_codec.module._roles()
+    gH = H * roles["guided_stride"] // roles["master_stride"]
+    gW = W * roles["guided_stride"] // roles["master_stride"]
+    if guided.shape[1:3] != (gH, gW):
+        raise SystemExit(
+            f"guide image must be {gH}x{gW} for a {H}x{W} master at "
+            f"channel={channel}; got "
+            f"{guided.shape[1]}x{guided.shape[2]} — resize the guide"
+        )
     g_out = guided_codec.compress(guided)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
     m_out = master_codec.compress(x, g_dec["x_hat"])

@@ -239,3 +239,36 @@ class TestRansRoundtrip:
         )
         # entropy of the source is ~0.74 bits/symbol
         assert len(stream) * 8 / len(symbols) < 1.0
+
+
+class TestNoLutFallback:
+    def test_binary_search_decode_matches_lut(self, monkeypatch):
+        """LMIC_RANS_LUT=0 routes decode through the pure binary-search C
+        path; bytes and symbols must be identical to the LUT decode."""
+        rng = np.random.default_rng(11)
+        table = _make_table(rng)
+        n = 4096
+        indexes = rng.integers(0, len(table.cdf_length), n).astype(np.int32)
+        max_vals = table.cdf_length[indexes] - 2
+        symbols = (
+            rng.integers(0, 1 << 30, n) % np.maximum(max_vals, 1)
+        ).astype(np.int32) + table.offset[indexes]
+        # a few escapes so the bypass path is exercised in both modes
+        symbols[:: n // 8] += 4000
+        stream = coder.encode_with_indexes(symbols, indexes, table)
+        with_lut = coder.decode_with_indexes(stream, indexes, table)
+
+        monkeypatch.setenv("LMIC_RANS_LUT", "0")
+        bare = CdfTable(table.cdf, table.cdf_length, table.offset)
+        assert bare.lut() is None
+        no_lut = coder.decode_with_indexes(stream, indexes, bare)
+        np.testing.assert_array_equal(no_lut, with_lut)
+        np.testing.assert_array_equal(no_lut, symbols)
+
+        dec = coder.RansDecoder()
+        dec.set_stream(stream)
+        streamed = [
+            dec.decode_stream(indexes[i : i + 512], bare)
+            for i in range(0, n, 512)
+        ]
+        np.testing.assert_array_equal(np.concatenate(streamed), symbols)

@@ -153,6 +153,17 @@ class TestMaster:
         assert dm["x_hat"].shape == xm.shape
         assert np.all(dm["x_hat"] >= 0) and np.all(dm["x_hat"] <= 1)
 
+    def test_bad_geometry_rejected(self, master_setup):
+        """channel=3 master needs 128-multiple dims (feature stride 2 +
+        g_a/16 + hyper/4) and a half-resolution guide; both desync the
+        AR stream silently if unchecked."""
+        codec, xm, dec_g = master_setup
+        assert codec.module.downsampling_factor == 128
+        with pytest.raises(ValueError, match="multiples of 128"):
+            codec.compress(xm[:, :64, :64, :], dec_g["x_hat"])
+        with pytest.raises(ValueError, match="guide reconstruction"):
+            codec.compress(xm, np.asarray(dec_g["x_hat"])[:, :32, :32, :])
+
     def test_master_fanout_matches_single_device(self, master_setup,
                                                  guided_pair):
         """MasterCodec inherits the per-image AR fan-out through

@@ -179,6 +179,38 @@ class TestShardedCodec:
         r2 = sharded.decompress(out2["strings"], out2["shape"], u8=True)
         np.testing.assert_array_equal(r1["x_hat"], r2["x_hat"])
 
+    def test_sharding_survives_state_invalidation(self):
+        """update(force=True) deletes the fast-path jits; the rebuild must
+        re-apply the recorded mesh sharding instead of silently reverting
+        to single-device serving."""
+        import jax
+
+        from lmic_tpu import parallel, zoo
+
+        x = (np.random.default_rng(1).random((8, 64, 64, 3)) * 255
+             ).astype(np.uint8)
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        codec.update(force=True)
+        parallel.shard_codec(codec, parallel.make_mesh(8))
+        codec.compress(x)
+        assert len(codec._enc_u8_packed(x).sharding.device_set) == 8
+
+        codec.update(force=True)  # invalidates the fast-path jits
+        out = codec.compress(x)  # lazily rebuilds them
+        assert len(codec._enc_u8_packed(x).sharding.device_set) == 8, \
+            "rebuilt jits lost the mesh sharding"
+
+        single = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        single.update(force=True)
+        want = single.compress(x)
+        assert out["strings"] == want["strings"]
+
     def test_ar_fanout_matches_single_device(self):
         """mbt2018 multi-device serving: per-image wavefront scans fanned
         across the mesh must produce byte-identical streams and identical

@@ -330,6 +330,49 @@ class TestRGBTFileCodec:
         rec = np.asarray(Image.open(out_path))
         assert rec.shape == (64, 64)
 
+    def test_encode_rgbt_rejects_bad_geometry(self, tmp_path):
+        """The RGBT container stores no padding geometry, so encode must
+        reject non-multiple masters and mis-sized guides loudly instead
+        of writing a stream that desyncs on decode."""
+        from PIL import Image
+
+        from lmic_tpu import zoo
+        from lmic_tpu.utils import codec_cli
+
+        rng = np.random.default_rng(3)
+        bad_master = str(tmp_path / "bad.png")
+        guide_path = str(tmp_path / "rgb.png")
+        Image.fromarray(
+            (rng.random((96, 96)) * 255).astype(np.uint8), mode="L"
+        ).save(bad_master)
+        Image.fromarray(
+            (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+        ).save(guide_path)
+        master = zoo.create_model(
+            "master", 1, key=jax.random.key(1), channel=1,
+            input_size=(64, 64),
+        )
+        bin_path = str(tmp_path / "m.bin")
+        # 96 is not a multiple of 64: rejected before any coding happens
+        with pytest.raises(SystemExit, match="multiple of 64"):
+            codec_cli.encode_rgbt(
+                bad_master, guide_path, bin_path, None, master, 1, channel=1
+            )
+        # good master but a guide that is not 2x its size
+        good_master = str(tmp_path / "good.png")
+        Image.fromarray(
+            (rng.random((64, 64)) * 255).astype(np.uint8), mode="L"
+        ).save(good_master)
+        small_guide = str(tmp_path / "small.png")
+        Image.fromarray(
+            (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        ).save(small_guide)
+        with pytest.raises(SystemExit, match="guide image must be"):
+            codec_cli.encode_rgbt(
+                good_master, small_guide, bin_path, None, master, 1,
+                channel=1,
+            )
+
 
 class TestPretrainedSafety:
     def test_fetch_rejects_corrupted_download(self, tmp_path, monkeypatch):
