@@ -130,14 +130,15 @@ class CdfTable:
         the decoder a near-exact starting slot so the per-symbol search is
         a 1-2 step forward scan instead of a binary search. Small enough
         (rows*512 B) to stay cache-resident."""
-        cached = getattr(self, "_lut", None)
-        if cached is not None:
-            return cached if cached is not False else None
         if os.environ.get("LMIC_RANS_LUT") == "0":
             # decode falls back to the pure binary-search C path; same
-            # bytes in/out, just slower — a debug/AB switch
-            self._lut = False
+            # bytes in/out, just slower — a debug/AB switch, checked per
+            # call so flipping the env mid-process affects live tables
+            # (coding states cache CdfTables for the codec's lifetime)
             return None
+        cached = getattr(self, "_lut", None)
+        if cached is not None:
+            return cached
         rows = self.cdf.shape[0]
         lib = _load()
         lut = np.empty((rows, self._LUT_SPAN), dtype=np.uint16)

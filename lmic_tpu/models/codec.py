@@ -95,8 +95,11 @@ class CompressionCodec:
         if H % factor or W % factor:
             raise ValueError(
                 f"input spatial dims ({H}, {W}) must be multiples of "
-                f"{factor}; pad first (CLIs use centered padding)"
+                f"{factor}; {self._dims_hint}"
             )
+
+    # codecs whose container cannot carry padding geometry override this
+    _dims_hint = "pad first (CLIs use centered padding)"
 
     # -- coding state ----------------------------------------------------------
     def update(self, force: bool = False):

@@ -651,17 +651,25 @@ class MasterCodec(JointARCodec):
             training=training, rngs=rngs,
         )
 
+    # the RGBT container stores no padding geometry; padding desyncs decode
+    _dims_hint = "crop or resize first (the RGBT container cannot record " \
+                 "padding)"
+
+    def expected_guide_hw(self, H, W):
+        """Guide (H, W) for a master of (H, W): both feature encoders must
+        land on the SAME grid — master/master_stride == guide/guided_stride
+        (channel=1: guide 2x; channel=3: guide at half) or the
+        SpatialAligner/ChannelAligner grids desync. Single source of truth
+        for the codec and the file-codec CLI."""
+        roles = self.module._roles()
+        return (H * roles["guided_stride"] // roles["master_stride"],
+                W * roles["guided_stride"] // roles["master_stride"])
+
     def compress(self, x, guided_hat):
         self._check_updated()
         self._check_dims(x)
-        # both feature encoders must land on the SAME grid: master/ms ==
-        # guide/gs, so the guide must sit at master * gs / ms resolution
-        # (channel=1: guide 2x; channel=3: guide at half) or the
-        # SpatialAligner/ChannelAligner grids desync
-        roles = self.module._roles()
         H, W = int(x.shape[1]), int(x.shape[2])
-        gH = H * roles["guided_stride"] // roles["master_stride"]
-        gW = W * roles["guided_stride"] // roles["master_stride"]
+        gH, gW = self.expected_guide_hw(H, W)
         if tuple(map(int, guided_hat.shape[1:3])) != (gH, gW):
             raise ValueError(
                 f"guide reconstruction must be ({gH}, {gW}) for a "

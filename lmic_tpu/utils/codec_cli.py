@@ -274,9 +274,7 @@ def encode_rgbt(master_path, guide_path, output_path, guided_codec,
             f"dimensions at channel={channel}; got {H}x{W} — crop or "
             "resize first"
         )
-    roles = master_codec.module._roles()
-    gH = H * roles["guided_stride"] // roles["master_stride"]
-    gW = W * roles["guided_stride"] // roles["master_stride"]
+    gH, gW = master_codec.expected_guide_hw(H, W)
     if guided.shape[1:3] != (gH, gW):
         raise SystemExit(
             f"guide image must be {gH}x{gW} for a {H}x{W} master at "
@@ -322,6 +320,17 @@ def decode_rgbt(input_path, guide_path, output_path, build_guided,
     guided_codec = build_guided(4 - channel)
     master_codec = build_master(channel)
     guided = _load(guide_path, channel=4 - channel)
+    # the header carries the master geometry, so a wrong-sized guide source
+    # is detectable up front — fail with the same message the encoder gives
+    # instead of a raw XLA shape error deep inside the aligners
+    gH, gW = master_codec.expected_guide_hw(H, W)
+    if guided.shape[1:3] != (gH, gW):
+        raise SystemExit(
+            f"guide image must be {gH}x{gW} for this {H}x{W} master "
+            f"bitstream at channel={channel}; got "
+            f"{guided.shape[1]}x{guided.shape[2]} — use the guide the "
+            "stream was encoded with (or a same-size copy)"
+        )
     g_out = guided_codec.compress(guided)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
     rec = master_codec.decompress(

@@ -259,6 +259,9 @@ class TestNoLutFallback:
         with_lut = coder.decode_with_indexes(stream, indexes, table)
 
         monkeypatch.setenv("LMIC_RANS_LUT", "0")
+        # the switch is honored per call: flipping the env affects a table
+        # whose LUT is already built and cached (live coding states)
+        assert table.lut() is None
         bare = CdfTable(table.cdf, table.cdf_length, table.offset)
         assert bare.lut() is None
         no_lut = coder.decode_with_indexes(stream, indexes, bare)

@@ -330,6 +330,20 @@ class TestRGBTFileCodec:
         rec = np.asarray(Image.open(out_path))
         assert rec.shape == (64, 64)
 
+        # decode with a wrong-sized guide source: the header geometry lets
+        # this fail up front with the encoder's message, not a raw XLA
+        # shape error deep inside the aligners
+        small_guide = str(tmp_path / "small_guide.png")
+        Image.fromarray(
+            (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+        ).save(small_guide)
+        with pytest.raises(SystemExit, match="guide image must be 128x128"):
+            codec_cli.decode_rgbt(
+                bin_path, small_guide, out_path,
+                lambda ch: guided if ch == 3 else None,
+                lambda ch: master if ch == 1 else None,
+            )
+
     def test_encode_rgbt_rejects_bad_geometry(self, tmp_path):
         """The RGBT container stores no padding geometry, so encode must
         reject non-multiple masters and mis-sized guides loudly instead
