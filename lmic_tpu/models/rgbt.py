@@ -665,17 +665,32 @@ class MasterCodec(JointARCodec):
         return (H * roles["guided_stride"] // roles["master_stride"],
                 W * roles["guided_stride"] // roles["master_stride"])
 
+    def check_geometry(self, H, W, guide_hw=None,
+                       guide_what="guide reconstruction"):
+        """Validate a master geometry (and optionally a guide's) without
+        running anything; raises ValueError on mismatch and returns the
+        expected guide (H, W). One policy for compress() and both halves
+        of the file-codec CLI (encode early-exit before the expensive
+        guide coding, decode-side header/guide validation)."""
+        factor = self.module.downsampling_factor
+        if H % factor or W % factor:
+            raise ValueError(
+                f"master dims ({H}, {W}) must be multiples of {factor} at "
+                f"channel={self.module.channel}; {self._dims_hint}"
+            )
+        gH, gW = self.expected_guide_hw(H, W)
+        if guide_hw is not None and tuple(guide_hw) != (gH, gW):
+            raise ValueError(
+                f"{guide_what} must be {gH}x{gW} for a {H}x{W} master at "
+                f"channel={self.module.channel}; got "
+                f"{guide_hw[0]}x{guide_hw[1]}"
+            )
+        return gH, gW
+
     def compress(self, x, guided_hat):
         self._check_updated()
-        self._check_dims(x)
         H, W = int(x.shape[1]), int(x.shape[2])
-        gH, gW = self.expected_guide_hw(H, W)
-        if tuple(map(int, guided_hat.shape[1:3])) != (gH, gW):
-            raise ValueError(
-                f"guide reconstruction must be ({gH}, {gW}) for a "
-                f"({H}, {W}) master at channel={self.module.channel}; got "
-                f"{tuple(map(int, guided_hat.shape[1:3]))}"
-            )
+        self.check_geometry(H, W, tuple(map(int, guided_hat.shape[1:3])))
         # feature/alignment chain stays on device; only (y, z) cross for
         # the host coder, and beta/gamma as transmitted side info
         x_feature, guided_align, beta, gamma = self._features(

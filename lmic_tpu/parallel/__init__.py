@@ -82,13 +82,15 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
         return codec.fanout(list(mesh.devices.flat))
     if not hasattr(codec, "_build_u8_fns"):
         raise ValueError(f"{type(codec).__name__} has no u8 fast path")
-    codec._build_u8_fns()
-    _apply_codec_sharding(codec, mesh, axis)
     # state invalidation (update(force=True), reference-table adoption)
     # deletes the fast-path jits and the next compress rebuilds them via
     # _build_u8_fns — shadow the method on the instance so every rebuild
-    # re-applies the sharding instead of silently reverting to one device
-    if not hasattr(codec, "_shard_spec"):
+    # re-applies the sharding instead of silently reverting to one device.
+    # Set _shard_spec BEFORE building so a re-shard onto a new mesh jits
+    # against the new spec in one pass (not stale-then-correct twice).
+    first = not hasattr(codec, "_shard_spec")
+    codec._shard_spec = (mesh, axis)
+    if first:
         inner_build = codec._build_u8_fns
 
         def build_and_shard():
@@ -96,7 +98,7 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
             _apply_codec_sharding(codec, *codec._shard_spec)
 
         codec._build_u8_fns = build_and_shard
-    codec._shard_spec = (mesh, axis)
+    codec._build_u8_fns()
     return codec
 
 

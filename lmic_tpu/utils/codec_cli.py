@@ -265,22 +265,14 @@ def encode_rgbt(master_path, guide_path, output_path, guided_codec,
     guided = _load(guide_path, channel=4 - channel)
     # the RGBT container stores no padding geometry (reference convention:
     # codec_rgbt.py hard-wires aligned sizes), so reject bad dimensions
-    # loudly instead of writing a stream that desyncs on decode
-    factor = master_codec.module.downsampling_factor
-    H, W = x.shape[1:3]
-    if H % factor or W % factor:
-        raise SystemExit(
-            f"master image must be a multiple of {factor} in both "
-            f"dimensions at channel={channel}; got {H}x{W} — crop or "
-            "resize first"
+    # loudly BEFORE the expensive guide coding — same policy the codec
+    # itself enforces (MasterCodec.check_geometry)
+    try:
+        master_codec.check_geometry(
+            *x.shape[1:3], tuple(guided.shape[1:3]), guide_what="guide image"
         )
-    gH, gW = master_codec.expected_guide_hw(H, W)
-    if guided.shape[1:3] != (gH, gW):
-        raise SystemExit(
-            f"guide image must be {gH}x{gW} for a {H}x{W} master at "
-            f"channel={channel}; got "
-            f"{guided.shape[1]}x{guided.shape[2]} — resize the guide"
-        )
+    except ValueError as e:
+        raise SystemExit(str(e))
     g_out = guided_codec.compress(guided)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
     m_out = master_codec.compress(x, g_dec["x_hat"])
@@ -320,10 +312,15 @@ def decode_rgbt(input_path, guide_path, output_path, build_guided,
     guided_codec = build_guided(4 - channel)
     master_codec = build_master(channel)
     guided = _load(guide_path, channel=4 - channel)
+    # validate the header geometry on its own first: a corrupt/foreign
+    # stream must be blamed on the bitstream, not on the guide image
+    try:
+        gH, gW = master_codec.check_geometry(H, W)
+    except ValueError as e:
+        raise SystemExit(f"corrupt or incompatible RGBT bitstream: {e}")
     # the header carries the master geometry, so a wrong-sized guide source
     # is detectable up front — fail with the same message the encoder gives
     # instead of a raw XLA shape error deep inside the aligners
-    gH, gW = master_codec.expected_guide_hw(H, W)
     if guided.shape[1:3] != (gH, gW):
         raise SystemExit(
             f"guide image must be {gH}x{gW} for this {H}x{W} master "

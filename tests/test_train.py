@@ -211,6 +211,36 @@ class TestShardedCodec:
         want = single.compress(x)
         assert out["strings"] == want["strings"]
 
+    def test_reshard_onto_new_mesh(self):
+        """shard_codec on an already-sharded codec must re-jit the fast
+        paths against the NEW mesh in one build pass (the sticky rebuild
+        wrapper reads _shard_spec, which is set before the rebuild)."""
+        import jax
+
+        from lmic_tpu import parallel, zoo
+
+        x = (np.random.default_rng(2).random((4, 64, 64, 3)) * 255
+             ).astype(np.uint8)
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        codec.update(force=True)
+        parallel.shard_codec(codec, parallel.make_mesh(8))
+        mesh4 = parallel.make_mesh(4)
+        parallel.shard_codec(codec, mesh4)
+        out = codec.compress(x)
+        assert codec._enc_u8_packed(x).sharding.device_set == set(
+            mesh4.devices.flat
+        ), "re-shard left the fast paths on the old mesh"
+
+        single = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        single.update(force=True)
+        assert out["strings"] == single.compress(x)["strings"]
+
     def test_ar_fanout_matches_single_device(self):
         """mbt2018 multi-device serving: per-image wavefront scans fanned
         across the mesh must produce byte-identical streams and identical

@@ -344,6 +344,21 @@ class TestRGBTFileCodec:
                 lambda ch: master if ch == 1 else None,
             )
 
+        # corrupt header geometry (H not a multiple of the master factor):
+        # blamed on the bitstream, not on the (correct) guide image
+        import struct
+
+        bad_bin = tmp_path / "bad.bin"
+        data = bytearray((tmp_path / "m.bin").read_bytes())
+        data[6:10] = struct.pack(">I", 100)  # H field: magic(4) + 2 uchars
+        bad_bin.write_bytes(bytes(data))
+        with pytest.raises(SystemExit, match="corrupt or incompatible"):
+            codec_cli.decode_rgbt(
+                str(bad_bin), guide_path, out_path,
+                lambda ch: guided if ch == 3 else None,
+                lambda ch: master if ch == 1 else None,
+            )
+
     def test_encode_rgbt_rejects_bad_geometry(self, tmp_path):
         """The RGBT container stores no padding geometry, so encode must
         reject non-multiple masters and mis-sized guides loudly instead
@@ -368,7 +383,7 @@ class TestRGBTFileCodec:
         )
         bin_path = str(tmp_path / "m.bin")
         # 96 is not a multiple of 64: rejected before any coding happens
-        with pytest.raises(SystemExit, match="multiple of 64"):
+        with pytest.raises(SystemExit, match="multiples of 64"):
             codec_cli.encode_rgbt(
                 bad_master, guide_path, bin_path, None, master, 1, channel=1
             )
