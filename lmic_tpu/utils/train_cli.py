@@ -112,6 +112,9 @@ def parse_args(argv):
                    help="host batches prepared ahead on a background "
                         "thread (0 disables)")
     p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--devices", type=int, default=None,
+                   help="train on the first N local devices (default: all; "
+                        "batch size must divide the device count)")
     return p.parse_args(argv)
 
 
@@ -143,7 +146,7 @@ def train_single(args):
         start_epoch = extra.get("epoch", 0) + 1
         best_loss = extra.get("best_loss", float("inf"))
 
-    mesh = parallel.make_mesh()
+    mesh = parallel.make_mesh(args.devices)
     state = parallel.replicate(mesh, state)
     step_fn = make_train_step(
         module, optimizer, lmbda,
@@ -253,7 +256,7 @@ def train_master(args):
         start_epoch = extra.get("epoch", 0) + 1
         best_loss = extra.get("best_loss", float("inf"))
 
-    mesh = parallel.make_mesh()
+    mesh = parallel.make_mesh(args.devices)
     state = parallel.replicate(mesh, state)
     step_fn = make_master_train_step(
         master_module, guided_codec.module, guided_params, optimizer, lmbda
