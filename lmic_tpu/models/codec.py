@@ -313,7 +313,12 @@ class FactorizedPriorCodec(CompressionCodec):
         sym = sym.reshape(len(strings[0]), C, H, W)
         sym = sym.astype(_narrowest_int(sym))
         self._stat("dec_rans_ms", t0)
-        return self._dec_u8(jnp.asarray(sym))  # device value (async)
+        dev = self._dec_u8(jnp.asarray(sym))  # device value (async)
+        # start the pixel download as soon as the synth finishes, not when
+        # the caller joins — in the pipelined path the join happens a full
+        # batch later, so the biggest transfer rides the idle link window
+        dev.copy_to_host_async()
+        return dev
 
     def decompress(self, strings, shape, u8: bool = False):
         self._check_updated()
@@ -623,6 +628,7 @@ class HyperpriorCodec(CompressionCodec):
         y_up = y_sym.astype(_narrowest_int(y_sym))
         self._stat("dec_y_rans_ms", t0)
         x_dev = self._synth_u8(jnp.asarray(y_up), means_dev)  # async
+        x_dev.copy_to_host_async()  # download starts when the synth ends
 
         def fetch():
             import time as _t

@@ -517,6 +517,7 @@ class JointARCodec(CompressionCodec):
             x_dev = self._g_s_u8(jnp.asarray(y_hat))
         else:
             x_dev = self._g_s(jnp.asarray(y_hat))
+        x_dev.copy_to_host_async()  # download starts when the synth ends
 
         def finalize():
             t1 = time.perf_counter()

@@ -856,6 +856,9 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         stacked = jnp.stack(frames, axis=1)
         if u8:
             stacked = self._egress_u8(stacked)
+        # start the pixel download as soon as the frame chain finishes —
+        # a pipelined caller joins a full GOP later
+        stacked.copy_to_host_async()
         if _async:
             def fetch():
                 t1 = time.perf_counter()
