@@ -64,10 +64,26 @@ struct Enc {
 struct Dec {
   uint64_t x = 0;
   const uint32_t *ptr = nullptr;
+  const uint32_t *end = nullptr;
 
-  inline void init(const uint32_t *p) {
-    x = (static_cast<uint64_t>(p[1]) << 32) | p[0];
-    ptr = p + 2;
+  // `nbytes` bounds every read: a truncated or corrupted stream decodes
+  // to garbage symbols (renorm words past the end read as 0) instead of
+  // reading past the buffer. Valid streams never hit the bound — the
+  // branch is perfectly predicted and free in the hot path.
+  inline void init(const uint32_t *p, int64_t nbytes) {
+    const int64_t nwords = nbytes < 0 ? 0 : nbytes / 4;
+    end = p + nwords;
+    if (nwords >= 2) {
+      x = (static_cast<uint64_t>(p[1]) << 32) | p[0];
+      ptr = p + 2;
+    } else {
+      x = 0;
+      ptr = end;
+    }
+  }
+
+  inline uint32_t next_word() {
+    return ptr < end ? *ptr++ : 0u;
   }
 
   inline uint32_t peek() const {
@@ -78,7 +94,7 @@ struct Dec {
     constexpr uint64_t mask = (1ull << kPrecision) - 1;
     x = freq * (x >> kPrecision) + (x & mask) - start;
     if (x < kRansL) {
-      x = (x << 32) | *ptr++;
+      x = (x << 32) | next_word();
     }
   }
 
@@ -86,7 +102,7 @@ struct Dec {
     uint32_t val = static_cast<uint32_t>(x) & ((1u << nbits) - 1);
     x >>= nbits;
     if (x < kRansL) {
-      x = (x << 32) | *ptr++;
+      x = (x << 32) | next_word();
     }
   return val;
   }
@@ -175,7 +191,12 @@ inline int32_t decode_one(Dec &dec, const int32_t *cdf, int32_t cdf_size,
     }
     uint32_t raw_val = 0;
     for (uint32_t j = 0; j < n_bypass; ++j) {
-      raw_val |= dec.get_bits(kBypassPrecision) << (j * kBypassPrecision);
+      const uint32_t bits = dec.get_bits(kBypassPrecision);
+      // valid streams carry <= 8 nibbles (int32 payload); cap the
+      // shift so a corrupt count cannot shift past uint32 width (UB)
+      if (j < 32 / kBypassPrecision) {
+        raw_val |= bits << (j * kBypassPrecision);
+      }
     }
     value = static_cast<int32_t>(raw_val >> 1);
     if (raw_val & 1) {
@@ -298,9 +319,8 @@ int64_t lmic_rans_decode_with_indexes(
     const uint8_t *stream, int64_t nbytes, const int32_t *indexes, int64_t n,
     const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdfs_sizes,
     const int32_t *offsets, int32_t *out_symbols) {
-  (void)nbytes;
   Dec dec;
-  dec.init(reinterpret_cast<const uint32_t *>(stream));
+  dec.init(reinterpret_cast<const uint32_t *>(stream), nbytes);
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
     out_symbols[i] =
@@ -340,9 +360,8 @@ int64_t lmic_rans_decode_with_indexes_lut(
     const uint8_t *stream, int64_t nbytes, const int32_t *indexes, int64_t n,
     const int32_t *cdfs, int64_t cdf_stride, const int32_t *cdfs_sizes,
     const int32_t *offsets, const uint16_t *lut, int32_t *out_symbols) {
-  (void)nbytes;
   Dec dec;
-  dec.init(reinterpret_cast<const uint32_t *>(stream));
+  dec.init(reinterpret_cast<const uint32_t *>(stream), nbytes);
   for (int64_t i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
     const int32_t *cdf = cdfs + idx * cdf_stride;
@@ -362,7 +381,12 @@ int64_t lmic_rans_decode_with_indexes_lut(
       }
       uint32_t raw_val = 0;
       for (uint32_t j = 0; j < n_bypass; ++j) {
-        raw_val |= dec.get_bits(kBypassPrecision) << (j * kBypassPrecision);
+        const uint32_t bits = dec.get_bits(kBypassPrecision);
+      // valid streams carry <= 8 nibbles (int32 payload); cap the
+      // shift so a corrupt count cannot shift past uint32 width (UB)
+      if (j < 32 / kBypassPrecision) {
+        raw_val |= bits << (j * kBypassPrecision);
+      }
       }
       value = static_cast<int32_t>(raw_val >> 1);
       if (raw_val & 1) {
@@ -403,7 +427,8 @@ void *lmic_rans_decoder_new(const uint8_t *stream, int64_t nbytes) {
   auto *sd = new StreamDecoder();
   sd->stream.assign(reinterpret_cast<const char *>(stream),
                     static_cast<size_t>(nbytes));
-  sd->dec.init(reinterpret_cast<const uint32_t *>(sd->stream.data()));
+  sd->dec.init(reinterpret_cast<const uint32_t *>(sd->stream.data()),
+               static_cast<int64_t>(sd->stream.size()));
   return sd;
 }
 
@@ -446,7 +471,12 @@ int64_t lmic_rans_decoder_decode_lut(
       }
       uint32_t raw_val = 0;
       for (uint32_t j = 0; j < n_bypass; ++j) {
-        raw_val |= dec.get_bits(kBypassPrecision) << (j * kBypassPrecision);
+        const uint32_t bits = dec.get_bits(kBypassPrecision);
+      // valid streams carry <= 8 nibbles (int32 payload); cap the
+      // shift so a corrupt count cannot shift past uint32 width (UB)
+      if (j < 32 / kBypassPrecision) {
+        raw_val |= bits << (j * kBypassPrecision);
+      }
       }
       value = static_cast<int32_t>(raw_val >> 1);
       if (raw_val & 1) {

@@ -199,7 +199,11 @@ def _load(path, channel=3):
 
 
 def _save(arr, path):
-    arr = np.clip(arr[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    # nan_to_num: a corrupted bitstream decodes to garbage symbols and can
+    # reach the transforms as NaN — save black pixels, not a cast warning
+    arr = np.clip(
+        np.nan_to_num(arr[0]) * 255.0 + 0.5, 0, 255
+    ).astype(np.uint8)
     if arr.shape[-1] == 1:
         arr = arr[..., 0]
     Image.fromarray(arr).save(path)

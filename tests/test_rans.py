@@ -275,3 +275,49 @@ class TestNoLutFallback:
             for i in range(0, n, 512)
         ]
         np.testing.assert_array_equal(np.concatenate(streamed), symbols)
+
+
+class TestCorruptStreams:
+    """A truncated/corrupted/hostile stream must decode to garbage symbols,
+    never read past the buffer (the Dec renorm is bounds-checked and the
+    bypass reassembly caps its shift; lmic_rans.cc Dec::next_word). The
+    reference binding has no such guard — production decoders need one."""
+
+    @pytest.mark.parametrize("mode", ["lut", "nolut", "stream"])
+    def test_corrupt_streams_return_safely(self, mode, monkeypatch):
+        if mode == "nolut":
+            monkeypatch.setenv("LMIC_RANS_LUT", "0")
+        rng = np.random.default_rng(13)
+        table = _make_table(rng)
+        n = 2048
+        indexes = rng.integers(0, len(table.cdf_length), n).astype(np.int32)
+        max_vals = table.cdf_length[indexes] - 2
+        symbols = (
+            rng.integers(0, 1 << 30, n) % np.maximum(max_vals, 1)
+        ).astype(np.int32) + table.offset[indexes]
+        symbols[:: n // 8] += 4000  # escapes: exercise the bypass path too
+        stream = coder.encode_with_indexes(symbols, indexes, table)
+
+        cases = [
+            b"",
+            b"\x01\x02",
+            stream[: len(stream) // 3],
+            rng.bytes(1024),
+            bytes(
+                np.frombuffer(stream, np.uint8)
+                ^ (rng.random(len(stream)) < 0.02).astype(np.uint8)
+            ),
+        ]
+        for bad in cases:
+            if mode == "stream":
+                dec = coder.RansDecoder()
+                dec.set_stream(bad)
+                out = dec.decode_stream(indexes, table)
+            else:
+                out = coder.decode_with_indexes(bad, indexes, table)
+            assert out.shape == (n,) and out.dtype == np.int32
+
+        # and the pristine stream still decodes exactly
+        np.testing.assert_array_equal(
+            coder.decode_with_indexes(stream, indexes, table), symbols
+        )
