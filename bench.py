@@ -75,12 +75,13 @@ def _gdn_backend() -> str:
     ]
 
 
-def bench_pipelined(arch, B=8, iters=12):
+def bench_pipelined(arch, B=16, iters=10):
     """factorized/hyperprior: steady-state async pipeline — the NEXT batch's
     whole device encode (analyze, entropy params, symbols, single packed
     fetch) is dispatched before this batch's host entropy coding runs, so
-    link+device time overlaps host rANS time. B=8 measured best on the
-    tunnel (bigger bursts hit its erratic transfer tail)."""
+    link+device time overlaps host rANS time. B=16 measured best on the
+    tunnel once decode downloads became eager (B=8 ~5% slower, B=32
+    hits the tunnel's erratic transfer tail: measured 3.2 vs 4.2 MP/s)."""
     import jax
 
     from lmic_tpu import zoo
