@@ -18,7 +18,7 @@ API parity with the reference `CompressionModel` contract
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,6 @@ from lmic_tpu.entropy.entropy_models import (
     GCState,
     eb_update,
     get_scale_table,
-    quantize_symbols,
 )
 
 
@@ -286,9 +285,11 @@ class FactorizedPriorCodec(CompressionCodec):
         return {"strings": [y_strings], "shape": y.shape[1:3]}
 
     def decompress_async(self, strings, shape):
-        """Decode on the worker thread (see _host_worker) and return a
-        finalizer producing the uint8 reconstruction: a pipelining caller
-        overlaps this batch's decode legs with the next batch's encode."""
+        """Run the host decode half (inline by default; on the worker
+        thread with LMIC_DECODE_THREAD=1 — see _decode_threaded) and return
+        a finalizer producing the uint8 reconstruction: the pixel download
+        proceeds in the background, so a pipelining caller overlaps it with
+        the next batch's encode legs."""
         self._check_updated()
         if not hasattr(self, "_enc_u8"):
             self._build_u8_fns()
@@ -472,6 +473,36 @@ class HyperpriorCodec(CompressionCodec):
         if self.eb_state is None or self.gc_state is None:
             raise RuntimeError("Uninitialized CDFs. Run update() first")
 
+    def _params_for_wire_z(self, z_sym_cm: np.ndarray):
+        """Entropy parameters as a pure function of the WIRE z symbols
+        (channel-major int32, (B, C, h, w)). int8-fitting z runs the SAME
+        `_params_from_zsym` graph the u8 paths use; wider z runs the float
+        graph — so every encode/decode pair picks the same compiled graph
+        from the same bytes, whichever API produced the stream (the
+        shared-graph bitstream invariant; a 1-ulp divergence between the
+        two compiled graphs at a scale-bucket boundary would otherwise
+        desync a cross-API roundtrip). Returns (indexes channel-major
+        int32, means NHWC or None)."""
+        fits8 = (z_sym_cm.size == 0
+                 or (z_sym_cm.min() >= -128 and z_sym_cm.max() <= 127))
+        if fits8:
+            if not hasattr(self, "_params_from_zsym"):
+                self._build_u8_fns()
+            idx_cm, means = self._params_from_zsym(
+                jnp.asarray(z_sym_cm.astype(np.int8))
+            )
+            return (np.asarray(idx_cm).astype(np.int32),
+                    None if means is None else np.asarray(means))
+        C = len(self.eb_state.medians)
+        z_hat = (z_sym_cm.astype(np.float32)
+                 + self.eb_state.medians.reshape(1, C, 1, 1))
+        table = jnp.asarray(self.gc_state.scale_table)
+        indexes, means = jax.device_get(
+            self._dec_params(jnp.asarray(np.moveaxis(z_hat, 1, -1)), table)
+        )
+        return (np.moveaxis(np.asarray(indexes).astype(np.int32), -1, 1),
+                None if means is None else np.asarray(means))
+
     def compress(self, x):
         self._check_updated()
         x = np.asarray(x)
@@ -486,11 +517,10 @@ class HyperpriorCodec(CompressionCodec):
         medians = self.eb_state.medians.reshape(
             (1,) * (z.ndim - 1) + (C,)
         )
-        z_hat = np.round(z - medians) + medians
-        table = jnp.asarray(self.gc_state.scale_table)
-        indexes, means = jax.device_get(
-            self._dec_params(jnp.asarray(z_hat), table)
+        z_sym_cm = np.moveaxis(
+            np.round(z - medians).astype(np.int32), -1, 1
         )
+        idx_cm, means = self._params_for_wire_z(z_sym_cm)
         symbols = np.round(y - means if means is not None else y).astype(
             np.int32
         )
@@ -499,7 +529,7 @@ class HyperpriorCodec(CompressionCodec):
         # reference's per-image flatten (entropy_models.py:237-270)
         y_strings = rans.encode_batch(
             np.moveaxis(symbols, -1, 1).reshape(B, -1),
-            np.moveaxis(np.asarray(indexes), -1, 1).reshape(B, -1),
+            idx_cm.reshape(B, -1),
             self.gc_state.table,
         )
         return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
@@ -572,9 +602,11 @@ class HyperpriorCodec(CompressionCodec):
         return self.compress_async(x)()
 
     def decompress_async(self, strings, shape):
-        """Decode on the worker thread (see _host_worker); the finalizer
-        blocks on the uint8 reconstruction. A pipelining caller overlaps
-        this batch's decode legs (z decode, index download, y decode and
+        """Run the host decode half (inline by default; on the worker
+        thread with LMIC_DECODE_THREAD=1 — see _decode_threaded); the
+        finalizer blocks on the uint8 reconstruction, whose download
+        proceeds in the background. A pipelining caller overlaps this
+        batch's decode legs (z decode, index download, y decode and
         upload, pixel download) with the next batch's encode legs."""
         self._check_updated()
         if not hasattr(self, "_analyze_u8"):
@@ -648,12 +680,13 @@ class HyperpriorCodec(CompressionCodec):
         if u8:
             return self._decompress_u8(strings, shape)
         y_strings, z_strings = strings[0], strings[1]
-        z_hat = self.eb_state.decompress(z_strings, tuple(shape))
-        table = jnp.asarray(self.gc_state.scale_table)
-        indexes, means = jax.device_get(
-            self._dec_params(jnp.asarray(z_hat), table)
-        )
-        idx_cm = np.moveaxis(np.asarray(indexes), -1, 1)
+        C = len(self.eb_state.medians)
+        h, w = shape
+        ch_idx = np.repeat(np.arange(C, dtype=np.int32), h * w)
+        z_sym_cm = rans.decode_batch(
+            z_strings, ch_idx, self.eb_state.table
+        ).reshape(len(z_strings), C, h, w)
+        idx_cm, means = self._params_for_wire_z(z_sym_cm)
         symbols = rans.decode_batch(
             y_strings, idx_cm.reshape(idx_cm.shape[0], -1),
             self.gc_state.table,

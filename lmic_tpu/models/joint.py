@@ -19,8 +19,7 @@ matches the reference spec.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+import threading
 
 import flax.linen as nn
 import jax
@@ -33,9 +32,8 @@ from lmic_tpu.entropy.entropy_models import (
     EntropyBottleneck,
     GaussianConditional,
     get_scale_table,
-    quantize_dequantize,
 )
-from lmic_tpu.layers import GDN, Conv, Deconv, MaskedConv2d, make_causal_mask
+from lmic_tpu.layers import Conv, Deconv, MaskedConv2d, make_causal_mask
 from lmic_tpu.models.codec import CompressionCodec
 from lmic_tpu.models.image import MeanScaleHyperprior
 
@@ -250,6 +248,12 @@ class JointARCodec(CompressionCodec):
             )
         )
         self._encode_scan_cache = {}
+        # the decode scan's io_callback reads its rANS lanes out of a box
+        # shared with the cached compiled scan; concurrent decompress calls
+        # on one codec would clobber each other's lanes (silently decoding
+        # from the wrong streams), so the lane setup + scan execution is a
+        # critical section. Per-IMAGE concurrency still fans out inside it.
+        self._decode_lock = threading.Lock()
         # multi-device serving: per-image fan-out targets (parallel.shard_codec)
         self._fanout_devices = None
 
@@ -610,30 +614,46 @@ class JointARCodec(CompressionCodec):
         own device concurrently, streaming from its own lane's decoder."""
         assert isinstance(strings, list) and len(strings) == 2
         y_strings, z_strings = strings[0], strings[1]
-        z_hat = self.eb_state.decompress(z_strings, tuple(shape))
-        params = self._params_on_scan_device(z_hat)  # stays on device
-        H, W = shape[0] * 4, shape[1] * 4
-        scan, decoder_box = self._get_decode_scan(H, W)
+        # critical section: the compiled scan streams from decoder_box's
+        # lanes, so a second decompress on this codec must wait until this
+        # call's scans have fully drained their lanes (np.asarray blocks)
+        with self._decode_lock:
+            z_hat = self.eb_state.decompress(z_strings, tuple(shape))
+            params = self._params_on_scan_device(z_hat)  # stays on device
+            H, W = shape[0] * 4, shape[1] * 4
+            scan, decoder_box = self._get_decode_scan(H, W)
 
-        lanes = []
-        for s in y_strings:
-            dec = rans.RansDecoder()
-            dec.set_stream(s)
-            lanes.append(dec)
-        decoder_box["lanes"] = lanes
+            lanes = []
+            for s in y_strings:
+                dec = rans.RansDecoder()
+                dec.set_stream(s)
+                lanes.append(dec)
+            decoder_box["lanes"] = lanes
 
-        if self._fanout_devices and len(y_strings) > 1:
-            def one(i, dev):
-                return np.asarray(scan(
-                    jax.device_put(params[i], dev),
-                    jax.device_put(jnp.int32(i), dev),
-                ))
+            if self._fanout_devices and len(y_strings) > 1:
+                def one(i, dev):
+                    return np.asarray(scan(
+                        jax.device_put(params[i], dev),
+                        jax.device_put(jnp.int32(i), dev),
+                    ))
 
-            return np.stack(self._fanout_map(len(y_strings), one))
-        return np.stack([
-            np.asarray(scan(params[i], jnp.int32(i)))
-            for i in range(len(y_strings))
-        ])
+                return np.stack(self._fanout_map(len(y_strings), one))
+            outs = [
+                scan(params[i], jnp.int32(i))
+                for i in range(len(y_strings))
+            ]
+            if _ar_decode_device() is None:
+                # scans already ran on the synthesis device: stack there
+                # and skip the download/re-upload of the full y_hat tensor
+                # (~1.2 MB/image f32 at Kodak size, two link crossings).
+                # block INSIDE the lock: the scans must have drained their
+                # lanes before another decompress may install new ones
+                stacked = jnp.stack(outs)
+                stacked.block_until_ready()
+                return stacked
+            # CPU-pinned scans (tunnel TPU): synthesis runs on the TPU, so
+            # the host hop is the transfer path anyway
+            return np.stack([np.asarray(o) for o in outs])
 
     def decompress(self, strings, shape, u8: bool = False):
         return self.decompress_async(strings, shape, u8=u8)()

@@ -14,7 +14,7 @@ vectorized gather kernel in lmic_tpu.ops.video.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict
 
 import flax.linen as nn
 import jax
@@ -425,7 +425,30 @@ class _HyperpriorState:
         z_strings = self.eb_state.compress(z)
         C = z.shape[-1]
         medians = self.eb_state.medians.reshape((1, 1, 1, C))
-        z_hat = np.round(z - medians) + medians
+        z_sym = np.round(z - medians).astype(np.int32)
+        if z_sym.size == 0 or (
+            z_sym.min() >= -128 and z_sym.max() <= 127
+        ):  # pragma: no cover - needs a 1-ulp u8/f32 graph divergence
+            # pathological corner: the u8 graph's z overflowed int8 but the
+            # float graph's WIRE symbols fit — the decoder picks its graph
+            # from the wire, so derive parameters from the same
+            # _params_from_zsym graph it will run (shared-graph invariant)
+            z8 = jnp.asarray(np.moveaxis(z_sym, -1, 1).astype(np.int8))
+            idx_dev, means_dev = self._params_from_zsym(z8)
+            indexes_cm = np.asarray(idx_dev, dtype=np.int32)
+            means = np.asarray(means_dev)
+            symbols = np.round(y - means).astype(np.int32)
+            B = symbols.shape[0]
+            y_strings = rans.encode_batch(
+                np.moveaxis(symbols, -1, 1).reshape(B, -1),
+                indexes_cm.reshape(B, -1), self.gc_state.table,
+            )
+            y_hat = jnp.asarray(symbols.astype(np.float32) + means)
+            return y_hat, {
+                "strings": [y_strings, z_strings],
+                "shape": z.shape[1:3],
+            }
+        z_hat = z_sym.astype(np.float32) + medians
         scales, means = jax.device_get(self._params(jnp.asarray(z_hat)))
         gc = GaussianConditional()
         indexes = np.asarray(gc.build_indexes(
@@ -629,11 +652,26 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         x_res_hat = self._res_decode(y_res_hat, y_motion_hat)
         return x_pred + x_res_hat
 
+    # ssf2020 geometry: encoder /16, hyper /8 -> z only roundtrips when
+    # H, W divide 128 (the video eval CLI pads centered to 2^7, reference
+    # convention); fail loudly here like the image codecs do instead of a
+    # broadcast error deep inside the compiled GOP graph
+    _FACTOR = 128
+
+    def _check_frame_dims(self, frames):
+        H, W = frames.shape[2:4]
+        if H % self._FACTOR or W % self._FACTOR:
+            raise ValueError(
+                f"frame spatial dims ({H}, {W}) must be multiples of "
+                f"{self._FACTOR}; pad first (CLIs use centered padding)"
+            )
+
     def compress(self, frames):
         """frames: (B, T, H, W, 3) -> (frame_strings, shape_infos).
         uint8 frames take the thin-transfer path (converted on device)."""
         self._check_updated()
         frames = np.asarray(frames)
+        self._check_frame_dims(frames)
         if self._fanout_devices and frames.shape[0] > 1:
             def one(lo, hi, dev):
                 with jax.default_device(dev):
@@ -659,6 +697,7 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         work overlaps this GOP's host coding (bench.py pipelines this)."""
         self._check_updated()
         frames = np.asarray(frames)
+        self._check_frame_dims(frames)
         if self._fanout_devices and frames.shape[0] > 1:
             out = self.compress(frames)  # multi-sequence: chunked fan-out
             return lambda: out

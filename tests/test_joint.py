@@ -120,3 +120,36 @@ class TestU8PixelPath:
             rec8["x_hat"],
             np.round(np.clip(recf["x_hat"], 0, 1) * 255).astype(np.uint8),
         )
+
+
+class TestConcurrentDecode:
+    def test_threaded_decompress_calls_are_serialized(self, codec):
+        """The decode scan streams from lanes shared with the cached
+        compiled scan; _decode_lock must serialize concurrent decompress
+        calls on one codec so each call's wavefronts consume its OWN
+        streams (not the other's)."""
+        import threading
+
+        rng = np.random.default_rng(7)
+        batches = [
+            rng.random((2, 64, 64, 3)).astype(np.float32) for _ in range(2)
+        ]
+        outs = [codec.compress(x) for x in batches]
+        want = [
+            codec.decompress(o["strings"], o["shape"])["x_hat"]
+            for o in outs
+        ]
+
+        got = [None, None]
+        def worker(i):
+            for _ in range(3):
+                r = codec.decompress(outs[i]["strings"], outs[i]["shape"])
+                got[i] = np.asarray(r["x_hat"])
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in (0, 1)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in (0, 1):
+            np.testing.assert_array_equal(got[i], np.asarray(want[i]))

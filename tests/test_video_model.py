@@ -216,3 +216,23 @@ class TestFastPathEquivalence:
         rec_fast = codec._decompress_chunk(s_fast, sh_fast)
         rec_sync = codec._decompress_chunk_sync(s_fast, sh_fast)
         np.testing.assert_array_equal(rec_fast, rec_sync)
+
+
+class TestGeometryGuard:
+    def test_non_multiple_dims_rejected(self):
+        """ssf2020 streams only roundtrip when H, W divide 128 (enc /16,
+        hyper /8); compress must reject loudly instead of a broadcast
+        error deep inside the compiled GOP graph."""
+        import jax
+
+        from lmic_tpu import zoo
+
+        codec = zoo.create_video_model(
+            "ssf2020", 1, key=jax.random.key(0), input_size=(128, 128)
+        )
+        codec.update(force=True)
+        bad = np.zeros((1, 2, 96, 128, 3), np.uint8)
+        with pytest.raises(ValueError, match="multiples of 128"):
+            codec.compress(bad)
+        with pytest.raises(ValueError, match="multiples of 128"):
+            codec.compress_async(bad)
