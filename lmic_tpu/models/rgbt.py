@@ -439,6 +439,17 @@ class GuidedCompresser(JointAutoregressiveHierarchicalPriors):
         }
 
 
+def _as_unit_float(x):
+    """uint8 pixels -> [0, 1] float on device; floats pass through. The
+    base codec's u8 fast path normalizes inside its own jits, so side
+    computations (hidden taps, feature chains) must mirror it or they
+    silently consume 0-255-scaled values."""
+    x = jnp.asarray(x)
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 class GuidedCodec(JointARCodec):
     """JointARCodec emitting the hidden maps on compress/decompress, exactly
     like the reference's Guided_compresser.compress (-> ga*) and
@@ -454,13 +465,15 @@ class GuidedCodec(JointARCodec):
             lambda y: module.apply(variables, y, method=cls.g_s_hidden)
         )
 
-    def compress(self, x):
+    def compress(self, x, hidden: bool = True):
         out = super().compress(x)
         # hidden analysis maps (ga*), as the reference emits on compress;
         # left on device — the consumer (master codec / training) is a
-        # device computation, and the maps are large
-        _, hidden = self._g_a_hidden(jnp.asarray(x))
-        out["hidden"] = hidden
+        # device computation, and the maps are large. hidden=False skips
+        # the extra g_a forward for callers that only want the streams
+        # (the file codec / serving guide legs).
+        if hidden:
+            out["hidden"] = self._g_a_hidden(_as_unit_float(x))[1]
         return out
 
     def decompress(self, strings, shape):
@@ -694,10 +707,12 @@ class MasterCodec(JointARCodec):
         # feature/alignment chain stays on device; only (y, z) cross for
         # the host coder, and beta/gamma as transmitted side info
         x_feature, guided_align, beta, gamma = self._features(
-            jnp.asarray(x), jnp.asarray(guided_hat)
+            _as_unit_float(x), _as_unit_float(guided_hat)
         )
-        y, z = jax.device_get(
-            self._analyze_features(x_feature, guided_align)
+        # one blocking device_get for everything the host needs (the
+        # tunnel pays a fixed cost per separate sync)
+        y, z, beta, gamma = jax.device_get(
+            (*self._analyze_features(x_feature, guided_align), beta, gamma)
         )
         out = self._code_y_z(y, z)
         out["beta"] = np.asarray(beta)

@@ -282,6 +282,27 @@ def _restrict_to_u8(codec, meta):
 
     def check_strings(strings, shape):
         if dec_shape is None:  # video: per-frame strings/shape structure
+            # the exported GOP graphs are serialized for a fixed frame
+            # count and per-stream batch; a mismatch would die inside
+            # jax.export with an opaque pytree error
+            T, B = fixed[1], fixed[0]
+            if len(strings) != T:
+                raise ValueError(
+                    f"bundle is fixed to {T}-frame GOPs; got "
+                    f"{len(strings)} frame bodies"
+                )
+
+            def batch_of(s):
+                while isinstance(s, dict):
+                    s = next(iter(s.values()))
+                return len(s[0])
+
+            batches = [batch_of(s) for s in strings]
+            if any(b != B for b in batches):
+                raise ValueError(
+                    f"bundle is fixed to batch size {B}; got per-frame "
+                    f"batches {batches}"
+                )
             return
         if tuple(map(int, shape)) != dec_shape:
             raise ValueError(

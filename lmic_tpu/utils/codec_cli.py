@@ -277,7 +277,7 @@ def encode_rgbt(master_path, guide_path, output_path, guided_codec,
         )
     except ValueError as e:
         raise SystemExit(str(e))
-    g_out = guided_codec.compress(guided)
+    g_out = guided_codec.compress(guided, hidden=False)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
     m_out = master_codec.compress(x, g_dec["x_hat"])
     beta = np.asarray(m_out["beta"]).reshape(-1)
@@ -332,7 +332,7 @@ def decode_rgbt(input_path, guide_path, output_path, build_guided,
             f"{guided.shape[1]}x{guided.shape[2]} — use the guide the "
             "stream was encoded with (or a same-size copy)"
         )
-    g_out = guided_codec.compress(guided)
+    g_out = guided_codec.compress(guided, hidden=False)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
     rec = master_codec.decompress(
         {"strings": strings, "shape": shape, "beta": beta, "gamma": gamma},

@@ -148,14 +148,22 @@ def _rgbt_handlers(guided_codec, master_codec):
             )
         return pix.astype(np.float32) / 255.0
 
-    def code_guide(f):
-        guide = as_float(_read_pixels(f))
-        g_out = guided_codec.compress(guide)
+    def run_guide(guide):
+        # streams only — the master consumes the decompress-side hidden
+        g_out = guided_codec.compress(guide, hidden=False)
         return guided_codec.decompress(g_out["strings"], g_out["shape"])
 
     def compress(f):
         x = as_float(_read_pixels(f))
-        g_dec = code_guide(f)
+        guide = as_float(_read_pixels(f))
+        # validate BEFORE the expensive guide AR encode+decode runs under
+        # the server lock; check_geometry is the same policy the codec and
+        # the file-codec CLI enforce, and ValueError maps to a 400
+        master_codec.check_geometry(
+            int(x.shape[1]), int(x.shape[2]),
+            tuple(map(int, guide.shape[1:3])), guide_what="guide image",
+        )
+        g_dec = run_guide(guide)
         m_out = master_codec.compress(x, g_dec["x_hat"])
         beta = np.asarray(m_out["beta"], np.float32).reshape(-1)
         gamma = np.asarray(m_out["gamma"], np.float32).reshape(-1)
@@ -178,7 +186,14 @@ def _rgbt_handlers(guided_codec, master_codec):
         gamma = np.asarray(read_floats(f, 64), np.float32).reshape(
             1, 1, 1, 64
         )
-        g_dec = code_guide(f)
+        guide = as_float(_read_pixels(f))
+        # the body's z-latent shape pins the master geometry (H = z*factor)
+        factor = master_codec.module.downsampling_factor
+        master_codec.check_geometry(
+            int(shape[0]) * factor, int(shape[1]) * factor,
+            tuple(map(int, guide.shape[1:3])), guide_what="guide image",
+        )
+        g_dec = run_guide(guide)
         rec = master_codec.decompress(
             {"strings": strings, "shape": shape,
              "beta": beta, "gamma": gamma},

@@ -390,9 +390,20 @@ def import_reference_coding_state(state_dict: Dict[str, Any], codec,
 
     eb_cdf = buf(f"{eb_prefix}._quantized_cdf")
     quantiles = buf(f"{eb_prefix}.quantiles")
-    if eb_cdf is None or quantiles is None:
+    eb_len = buf(f"{eb_prefix}._cdf_length")
+    eb_off = buf(f"{eb_prefix}._offset")
+    if eb_cdf is None or quantiles is None or eb_len is None or eb_off is None:
+        # a checkpoint can carry _quantized_cdf with empty companion
+        # buffers (a non-deployment save mid-update) — treat it as having
+        # no baked tables rather than crashing on None.astype
         return False
     gc_cdf = buf(f"{gc_prefix}._quantized_cdf")
+    gc_len = buf(f"{gc_prefix}._cdf_length")
+    gc_off = buf(f"{gc_prefix}._offset")
+    gc_scales = buf(f"{gc_prefix}.scale_table")
+    if gc_cdf is not None and (gc_len is None or gc_off is None
+                               or gc_scales is None):
+        return False
     if gc_cdf is None:
         # a codec with a gaussian-conditional stage is only partially
         # importable from this checkpoint: reporting success would leave
@@ -407,8 +418,8 @@ def import_reference_coding_state(state_dict: Dict[str, Any], codec,
     codec.eb_state = EBState(
         table=CdfTable(
             eb_cdf.astype(np.int32),
-            buf(f"{eb_prefix}._cdf_length").astype(np.int32),
-            buf(f"{eb_prefix}._offset").reshape(-1).astype(np.int32),
+            eb_len.astype(np.int32),
+            eb_off.reshape(-1).astype(np.int32),
         ),
         medians=quantiles[:, 0, 1].astype(np.float32),
     )
@@ -416,10 +427,10 @@ def import_reference_coding_state(state_dict: Dict[str, Any], codec,
         codec.gc_state = GCState(
             table=CdfTable(
                 gc_cdf.astype(np.int32),
-                buf(f"{gc_prefix}._cdf_length").astype(np.int32),
-                buf(f"{gc_prefix}._offset").reshape(-1).astype(np.int32),
+                gc_len.astype(np.int32),
+                gc_off.reshape(-1).astype(np.int32),
             ),
-            scale_table=buf(f"{gc_prefix}.scale_table").astype(np.float32),
+            scale_table=gc_scales.astype(np.float32),
             gc=GaussianConditional(),
         )
     # captured-state invalidation, as update(force=True) does

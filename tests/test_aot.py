@@ -95,6 +95,10 @@ class TestVideoBundle:
             served.compress(frames[:, :2])
         with pytest.raises(RuntimeError, match="uint8 fast path"):
             served.decompress(got_s, got_sh)
+        # decompress request structure is validated too (a mismatch would
+        # otherwise die inside jax.export with an opaque pytree error)
+        with pytest.raises(ValueError, match="3-frame GOPs"):
+            served.decompress(got_s[:2], got_sh[:2], u8=True)
         # the async entry points share the guards
         with pytest.raises(RuntimeError, match="uint8 fast path"):
             served.compress_async(frames.astype(np.float32))

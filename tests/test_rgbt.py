@@ -104,6 +104,27 @@ class TestGuided:
         assert set(out["hidden"]) == {"ga1", "ga2", "ga3", "gs1", "gs2", "gs3"}
         assert out["x_hat"].shape == xg.shape
 
+    def test_u8_compress_hidden_matches_float(self, guided_pair):
+        """uint8 compress (the inherited fast path) must emit the SAME
+        hidden maps as the float path on the same pixels — the side
+        computation normalizes before g_a like the base codec's jits do
+        (a raw 0-255 feed would silently corrupt the master's features)."""
+        codec, _ = guided_pair
+        x8 = (np.random.default_rng(5).random((1, 64, 64, 1)) * 255
+              ).astype(np.uint8)
+        out8 = codec.compress(x8)
+        outf = codec.compress(x8.astype(np.float32) / 255.0)
+        for k in ("ga1", "ga2", "ga3"):
+            np.testing.assert_array_equal(
+                np.asarray(out8["hidden"][k]), np.asarray(outf["hidden"][k])
+            )
+        # hidden=False skips the extra analysis pass but keeps the streams
+        lean = codec.compress(x8, hidden=False)
+        assert "hidden" not in lean
+        assert [bytes(s) for g in lean["strings"] for s in g] == [
+            bytes(s) for g in out8["strings"] for s in g
+        ]
+
     def test_compress_decompress_hidden(self, guided_out):
         out, dec = guided_out
         assert set(out["hidden"]) == {"ga1", "ga2", "ga3"}

@@ -253,6 +253,18 @@ class TestRGBTServing:
                 + _pixel_payload(xb),
             )
             assert status == 400 and b"single-image" in body
+            # wrong-size guide: rejected up front by check_geometry (400)
+            # BEFORE the expensive guide AR coding, on both legs
+            bad_guide = _pixels((1, 128, 128, 1), seed=23)
+            status, body = _post(
+                port, "/compress",
+                _pixel_payload(xm_u8) + _pixel_payload(bad_guide),
+            )
+            assert status == 400 and b"guide image must be" in body
+            status, body = _post(
+                port, "/decompress", framed + _pixel_payload(bad_guide)
+            )
+            assert status == 400 and b"guide image must be" in body
         finally:
             server.shutdown()
             server.server_close()

@@ -457,3 +457,14 @@ class TestPretrainedSafety:
             input_size=(64, 64),
         )
         assert import_reference_coding_state(state_dict, fac) is True
+
+        # a cdf with EMPTY companion buffers (a non-deployment save caught
+        # mid-update) must report no-baked-tables, not crash on None
+        broken = dict(state_dict)
+        broken["entropy_bottleneck._cdf_length"] = np.zeros(0, np.int32)
+        fac2 = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(2),
+            input_size=(64, 64),
+        )
+        assert import_reference_coding_state(broken, fac2) is False
+        assert fac2.eb_state is None  # side-effect-free failure
