@@ -469,7 +469,8 @@ def parse_args(argv):
                    help="RGBT: guide-image path (the master file does not "
                         "embed the guide bitstream; codec_rgbt.py:538-544)")
     d.add_argument("--guided-checkpoint", default=None)
-    d.add_argument("--channel", type=int, default=1)
+    # no --channel on decode: the master channel count always comes from
+    # the container header (a flag here would be silently ignored)
     return p.parse_args(argv)
 
 

@@ -119,13 +119,14 @@ def eval_rgbt_pair(guided_codec, master_codec, x, guided,
             float(-jnp.sum(jnp.log2(lik)))
             for lik in m_fwd["likelihoods"].values()
         ) + 64 * 2 * 4 * 8
+        x_hat = jnp.clip(m_fwd["x_hat"], 0.0, 1.0)  # reference clamp_(0,1)
         return {
-            "psnr": float(psnr(m_fwd["x_hat"], jnp.asarray(x))),
-            "ms-ssim": float(ms_ssim(m_fwd["x_hat"], jnp.asarray(x))),
+            "psnr": float(psnr(x_hat, jnp.asarray(x))),
+            "ms-ssim": float(ms_ssim(x_hat, jnp.asarray(x))),
             "bpp": bits / num_pixels,
         }
     t0 = time.perf_counter()
-    g_out = guided_codec.compress(guided)
+    g_out = guided_codec.compress(guided, hidden=False)
     g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
     m_out = master_codec.compress(x, g_dec["x_hat"])
     enc_time = time.perf_counter() - t0
@@ -166,9 +167,10 @@ def eval_rd_pair(guided_codec, master_codec, x, guided,
             float(-jnp.sum(jnp.log2(lik)))
             for lik in m_fwd["likelihoods"].values()
         )
+        x_hat = jnp.clip(m_fwd["x_hat"], 0.0, 1.0)  # reference clamp_(0,1)
         return {
-            "psnr": float(psnr(m_fwd["x_hat"], jnp.asarray(x))),
-            "ms-ssim": float(ms_ssim(m_fwd["x_hat"], jnp.asarray(x))),
+            "psnr": float(psnr(x_hat, jnp.asarray(x))),
+            "ms-ssim": float(ms_ssim(x_hat, jnp.asarray(x))),
             "bpp": bits / num_pixels,
         }
     t0 = time.perf_counter()
@@ -270,6 +272,7 @@ def run_rgbt(args) -> List[Dict[str, float]]:
     ds = ImageFolderTest(args.dataset, crop_size=tuple(args.crop_size),
                          channel=args.channel, test_ids=test_ids)
     results = []
+    warmed = False
     for i in range(len(ds)):
         x, guided = ds[i]
         if rd_pair:
@@ -285,6 +288,16 @@ def run_rgbt(args) -> List[Dict[str, float]]:
                 guided_codec, master_codec, x[None], guided[None],
                 entropy_estimation=args.entropy_estimation,
             )
+        if not warmed and not args.entropy_estimation:
+            # first call included jit compiles: redo it so the recorded
+            # encoding/decoding_time measure coding, not compilation
+            warmed = True
+            continue_fn = (eval_rd_pair if rd_pair else eval_rgbt_pair)
+            m = continue_fn(
+                guided_codec, master_codec, x[None], guided[None],
+                entropy_estimation=False,
+            )
+        warmed = True
         results.append(m)
         print(f"[{i}] " + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
               flush=True)
@@ -325,12 +338,18 @@ def main(argv=None):
         if args.rgbt:
             results = run_rgbt(args)
             files = []
+        warmed = False
         for f in files:
             x = load_image(f, args.channel)
             if args.entropy_estimation:
                 m = eval_image_forward(codec, x)
             else:
                 m = eval_image_codec(codec, x)
+                if not warmed:
+                    # first call included jit compiles: redo it so the
+                    # recorded timings measure coding, not compilation
+                    m = eval_image_codec(codec, x)
+                warmed = True
             results.append(m)
             print(
                 f"{f.name}: "

@@ -42,7 +42,21 @@ def load_series(path: str, metric: str, rate_key: str = "bpp"):
             rate, val = [rate], [val]
         pairs = sorted(zip(rate, val))
         series.append((name, [p[0] for p in pairs], [p[1] for p in pairs]))
-    return series
+    # merge entries sharing a name: lmic-eval appends one summary per run
+    # (per quality), so a multi-quality file is N single-point entries of
+    # the same arch — draw them as ONE rate-sorted RD curve, not N dots
+    merged, order = {}, []
+    for name, rate, val in series:
+        if name not in merged:
+            merged[name] = ([], [])
+            order.append(name)
+        merged[name][0].extend(rate)
+        merged[name][1].extend(val)
+    out = []
+    for name in order:
+        pairs = sorted(zip(*merged[name]))
+        out.append((name, [p[0] for p in pairs], [p[1] for p in pairs]))
+    return out
 
 
 def render_plotly(series_list, ylabel, xlabel, title, output):

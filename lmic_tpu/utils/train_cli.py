@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from pathlib import Path
 from typing import Optional
 
 import jax
@@ -129,6 +130,7 @@ def _batches(dl, n: int):
 
 def train_single(args):
     from lmic_tpu.datasets import DataLoader, ImageFolder
+    from lmic_tpu.utils.train import make_eval_step, step_lr
 
     lmbda = LAMBDA_TABLE[args.quality - 1]
     codec = zoo.create_model(
@@ -136,8 +138,36 @@ def train_single(args):
         channel=args.channel, input_size=tuple(args.patch_size),
     )
     module = codec.module
+
+    if args.channel == 3:
+        ds = ImageFolder(args.dataset, "train",
+                         patch_size=tuple(args.patch_size), seed=args.seed)
+    else:
+        # channel-aware loader (grayscale modalities stay single-channel,
+        # reference image_rgbt_t.py semantics)
+        from lmic_tpu.datasets import ImageFolderT
+
+        ds = ImageFolderT(args.dataset, "train",
+                          patch_size=tuple(args.patch_size),
+                          channel=args.channel, seed=args.seed)
+    dl = DataLoader(ds, args.batch_size, seed=args.seed)
+    # held-out test epoch for best-checkpoint selection when the dataset
+    # has a test split (the reference recipe, examples/train.py test_epoch;
+    # a sampled train-loss mean is noisy)
+    test_dl = None
+    if (Path(args.dataset) / "test").is_dir():
+        loader_cls = type(ds)
+        kwargs = {"channel": args.channel} if args.channel != 3 else {}
+        test_ds = loader_cls(args.dataset, "test", train=False,
+                             patch_size=tuple(args.patch_size), **kwargs)
+        test_dl = DataLoader(test_ds, args.batch_size, shuffle=False,
+                             seed=0)
+
+    steps_per_epoch = args.steps_per_epoch or max(1, len(dl))
+    # StepLR(40 epochs, 0.5) on the main optimizer (reference train.py:395)
     optimizer = make_optimizer(
-        args.learning_rate, args.aux_learning_rate, args.clip_max_norm
+        step_lr(args.learning_rate, steps_per_epoch),
+        args.aux_learning_rate, args.clip_max_norm,
     )
     state = create_train_state(codec.variables["params"], optimizer)
     start_epoch, best_loss = 0, float("inf")
@@ -153,19 +183,7 @@ def train_single(args):
         matmul_precision="bfloat16" if args.bf16 else None,
         remat=args.remat,
     )
-
-    if args.channel == 3:
-        ds = ImageFolder(args.dataset, "train",
-                         patch_size=tuple(args.patch_size), seed=args.seed)
-    else:
-        # channel-aware loader (grayscale modalities stay single-channel,
-        # reference image_rgbt_t.py semantics)
-        from lmic_tpu.datasets import ImageFolderT
-
-        ds = ImageFolderT(args.dataset, "train",
-                          patch_size=tuple(args.patch_size),
-                          channel=args.channel, seed=args.seed)
-    dl = DataLoader(ds, args.batch_size, seed=args.seed)
+    eval_fn = make_eval_step(module, lmbda) if test_dl else None
     key = jax.random.key(args.seed)
 
     for epoch in range(start_epoch, args.epochs):
@@ -186,7 +204,23 @@ def train_single(args):
                     f"aux={float(m['aux_loss']):.1f}",
                     flush=True,
                 )
-        epoch_loss = float(np.mean(running)) if running else float("inf")
+        if test_dl is not None:
+            test_losses = [
+                float(jax.device_get(eval_fn(
+                    state.params,
+                    parallel.shard_batch(mesh, b.astype(np.float32)),
+                )["loss"]))
+                for b in test_dl
+            ]
+            if test_losses:
+                epoch_loss = float(np.mean(test_losses))
+                print(f"epoch {epoch} test loss={epoch_loss:.4f}",
+                      flush=True)
+            else:  # test split smaller than one batch: fall back
+                epoch_loss = (float(np.mean(running)) if running
+                              else float("inf"))
+        else:
+            epoch_loss = float(np.mean(running)) if running else float("inf")
         is_best = epoch_loss < best_loss
         best_loss = min(epoch_loss, best_loss)
         ckpt.save_checkpoint(
@@ -212,10 +246,24 @@ def train_master(args):
         input_size=tuple(args.crop_size),
     )
     if args.guided_checkpoint:
-        g_state = create_train_state(
-            guided_codec.variables["params"], make_optimizer()
-        )
-        g_state, _ = ckpt.load_checkpoint(args.guided_checkpoint, g_state)
+        from lmic_tpu.utils.train import step_lr as _sched
+
+        # only the params matter for the frozen guide, but deserialization
+        # needs a structure-matching opt_state template: guide checkpoints
+        # carry a StepLR schedule state (count); tolerate older
+        # constant-lr checkpoints too
+        def _load(optimizer):
+            template = create_train_state(
+                guided_codec.variables["params"], optimizer
+            )
+            return ckpt.load_checkpoint(args.guided_checkpoint, template)
+
+        try:
+            g_state, _ = _load(
+                make_optimizer(_sched(args.learning_rate, 1))
+            )
+        except ValueError:  # constant-lr era checkpoint
+            g_state, _ = _load(make_optimizer())
         guided_params = g_state.params
     else:
         print("WARNING: training master against a randomly initialized "
@@ -246,8 +294,13 @@ def train_master(args):
          "noise": jax.random.key(args.seed + 1)},
         xm, g_out["x_hat"], g_out["hidden"],
     )
+    from lmic_tpu.utils.train import step_lr
+
+    # StepLR(40 epochs, 0.5) on the main optimizer (reference train.py:395)
     optimizer = make_optimizer(
-        args.learning_rate, args.aux_learning_rate, args.clip_max_norm
+        step_lr(args.learning_rate,
+                args.steps_per_epoch or max(1, len(dl))),
+        args.aux_learning_rate, args.clip_max_norm,
     )
     state = create_train_state(variables["params"], optimizer)
     start_epoch, best_loss = 0, float("inf")
@@ -297,6 +350,13 @@ def train_master(args):
 
 def main(argv=None):
     args = parse_args(argv if argv is not None else sys.argv[1:])
+    if args.arch.endswith("_D"):
+        raise SystemExit(
+            f"{args.arch} is a paired dependent-modality model: its forward "
+            "consumes the matching '_R' model's hidden maps per batch and "
+            "has no standalone training recipe (the reference provides "
+            "none either) — train the '_R' model instead"
+        )
     try:
         if args.arch == "master":
             train_master(args)

@@ -248,8 +248,11 @@ def main(argv=None):
         if seq.video_format != VideoFormat.YUV420:
             print(f"skipping {f.name}: unsupported format")
             continue
-        m = eval_sequence(codec, seq, args.gop, args.max_frames,
-                          entropy_estimation=args.entropy_estimation)
+        try:
+            m = eval_sequence(codec, seq, args.gop, args.max_frames,
+                              entropy_estimation=args.entropy_estimation)
+        finally:
+            seq.close()  # drop the mmap before the next sequence
         seq_results.append(m)
         print(f"{f.name}: " + " ".join(
             f"{k}={v:.4f}" for k, v in m.items()
@@ -270,7 +273,10 @@ def main(argv=None):
     if outdir:
         # cumulative per-arch document: results arrays gain one entry per
         # run (reference __main__.py:545-568; consumed by lmic-plot)
-        cum_path = outdir / f"{args.arch}-{description}.json"
+        # metric in the filename: an mse and an ms-ssim run must not
+        # merge into one cumulative document (lmic-plot draws one series
+        # per file)
+        cum_path = outdir / f"{args.arch}-{args.metric}-{description}.json"
         if cum_path.exists():
             with open(cum_path) as fd:
                 output = json.load(fd)

@@ -158,7 +158,9 @@ def test_video_eval_golden(tmp_path):
     outdir = tmp_path / "out"
     video_main(["-d", str(clip), "--gop", "3", "-o", str(outdir)])
 
-    with open(outdir / "ssf2020-ans.json") as f:
+    # metric is part of the cumulative filename so mse and ms-ssim runs
+    # never merge into one document
+    with open(outdir / "ssf2020-mse-ans.json") as f:
         doc = _json.load(f)
     # reference cumulative schema (__main__.py:545-568)
     assert doc["name"] == "ssf2020-mse"
