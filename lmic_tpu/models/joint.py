@@ -139,14 +139,19 @@ def wavefront_rows(H: int, W: int) -> int:
 def make_wavefront_step(module, variables, H: int, W: int, scale_table):
     """Build the shared per-wavefront computation.
 
-    Given the padded y_hat buffer and hyper params, computes for each row of
-    the wavefront's valid-row window (pixel (h, w=t-3h), masked): context
-    features, fused (scales, means), and scale-table indexes. Used
-    identically by the encode and decode scans so entropy parameters are
-    bit-identical on both sides.
+    Returns ``(prepare, step)``. ``prepare(params)`` hoists the hyper-side
+    half of the entropy-parameters MLP's first layer out of the sequential
+    scan: the first conv1x1 acts on concat(hyper, ctx), so its hyper
+    contribution ``hyper @ W1[:2M] + b1`` is linear in the (known-upfront)
+    hyper params and runs ONCE per image as a single large GEMM — instead
+    of once per wavefront step over the R-row window (where invalid rows
+    burn ~35% extra). ``step`` computes, for each row of the wavefront's
+    valid-row window (pixel (h, w=t-3h), masked): context features, the
+    remaining (ctx-side + tail) MLP layers, fused (scales, means), and
+    scale-table indexes. Used identically by the encode and decode scans
+    so entropy parameters are bit-identical on both sides.
     """
     M = module.M
-    cls = type(module)
     gc = GaussianConditional()
     ctx_kernel = variables["params"]["context_prediction"]["kernel"]
     # Type-A causal mask: only 12 of the 25 kernel taps are live (rows
@@ -165,10 +170,31 @@ def make_wavefront_step(module, variables, H: int, W: int, scale_table):
     ctx_bias = variables["params"]["context_prediction"]["bias"]
     table = jnp.asarray(scale_table)
 
+    # entropy-parameters MLP (conv1x1 stack 4M -> 10M/3 -> 8M/3 -> 2M),
+    # unrolled so the first layer can be split hyper/ctx (reference
+    # google.py:472-478; our setup() above)
+    ep = variables["params"]["entropy_parameters_net"]
+    w1 = ep["layers_0"]["Conv_0"]["kernel"][0, 0]  # (4M, 10M/3)
+    b1 = ep["layers_0"]["Conv_0"]["bias"]
+    w2 = ep["layers_2"]["Conv_0"]["kernel"][0, 0]
+    b2 = ep["layers_2"]["Conv_0"]["bias"]
+    w3 = ep["layers_4"]["Conv_0"]["kernel"][0, 0]
+    b3 = ep["layers_4"]["Conv_0"]["bias"]
+    # concat order in param_fuse is [hyper, ctx]
+    w1_hyper, w1_ctx = w1[: 2 * M], w1[2 * M :]
+    # the masked conv's bias is constant across pixels: fold it through
+    # the (linear) first layer into the precomputed term
+    pre_bias = b1 + ctx_bias @ w1_ctx
+
     R = wavefront_rows(H, W)
 
-    def step(t, y_hat_pad, params):
-        """y_hat_pad: (H+4, W+4, M); params: (H, W, 2M).
+    def prepare(params):
+        """(H, W, 2M) hyper params -> (H, W, 10M/3) first-layer hyper
+        pre-activations; one large GEMM outside the scan."""
+        return jnp.einsum("hwm,mc->hwc", params, w1_hyper) + pre_bias
+
+    def step(t, y_hat_pad, pre1):
+        """y_hat_pad: (H+4, W+4, M); pre1: prepare(params), (H, W, 10M/3).
         Returns (h, w, valid, scales, means, indexes) with leading dim R
         (the wavefront's valid-row window, h ascending)."""
         # valid h range: ceil((t-W+1)/3) <= h <= t//3; clamp the R-window
@@ -190,24 +216,19 @@ def make_wavefront_step(module, variables, H: int, W: int, scale_table):
             [crops[:, :PAD].reshape(R, PAD * KERNEL, M), crops[:, PAD, :PAD]],
             axis=1,
         )  # (R, 12, M)
-        ctx = (
-            jnp.einsum(
-                "htm,tmn->hn", taps, tap_kernel,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            + ctx_bias
-        )  # (R, 2M)
-        hyper_p = params[h_vec, w_safe]  # (H, 2M)
-        fused = module.apply(
-            variables,
-            jnp.concatenate([hyper_p, ctx], axis=-1)[None, :, None, :],
-            method=cls.entropy_parameters,
-        )[0, :, 0, :]
+        ctx = jnp.einsum(
+            "htm,tmn->hn", taps, tap_kernel,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (R, 2M), bias folded into pre_bias
+        h1 = pre1[h_vec, w_safe] + ctx @ w1_ctx  # (R, 10M/3)
+        a1 = nn.leaky_relu(h1, 0.01)
+        a2 = nn.leaky_relu(a1 @ w2 + b2, 0.01)
+        fused = a2 @ w3 + b3  # (R, 2M)
         scales, means = jnp.split(fused, 2, axis=-1)  # (R, M) each
         indexes = gc.build_indexes(table, scales)  # (R, M) int32
         return h_vec, w_safe, valid, scales, means, indexes
 
-    return step
+    return prepare, step
 
 
 def _ar_decode_device():
@@ -411,7 +432,7 @@ class JointARCodec(CompressionCodec):
         ar_dev, variables = self._ar_variables()
         M = module.M
         T = _wavefront_positions(H, W)
-        step_fn = make_wavefront_step(
+        prepare_fn, step_fn = make_wavefront_step(
             module, variables, H, W, self.gc_state.scale_table
         )
 
@@ -434,7 +455,7 @@ class JointARCodec(CompressionCodec):
             carry = {
                 "y_hat": jnp.zeros((H + 2 * PAD, W + 2 * PAD, M), jnp.float32),
                 "y": y,
-                "params": params,
+                "params": prepare_fn(params),
             }
             carry, outs = jax.lax.scan(body, carry, jnp.arange(T))
             symbols, indexes, valid = outs  # (T, R, M), (T, R, M), (T, R)
@@ -558,7 +579,7 @@ class JointARCodec(CompressionCodec):
         dec_dev, variables = self._ar_variables()
         M = module.M
         T = _wavefront_positions(H, W)
-        step_fn = make_wavefront_step(
+        prepare_fn, step_fn = make_wavefront_step(
             module, variables, H, W, self.gc_state.scale_table
         )
         # one decoder per LANE: concurrent per-device scans each stream
@@ -603,7 +624,7 @@ class JointARCodec(CompressionCodec):
         def run(params, lane):
             carry = {
                 "y_hat": jnp.zeros((H + 2 * PAD, W + 2 * PAD, M), jnp.float32),
-                "params": params,
+                "params": prepare_fn(params),
                 "lane": lane,
             }
             carry, _ = jax.lax.scan(body, carry, jnp.arange(T))

@@ -81,6 +81,63 @@ class TestWavefrontRoundtrip:
             )
             np.testing.assert_array_equal(dec_y_hat, enc_y_hat)
 
+    def test_scan_params_match_param_fuse(self, codec):
+        """The scan's tap contraction + hoisted/unrolled entropy-params MLP
+        must agree with the module's masked-conv + param_fuse path (the
+        training/forward graph) to float tolerance, at every pixel."""
+        from lmic_tpu.models.joint import (
+            PAD,
+            _wavefront_positions,
+            make_wavefront_step,
+        )
+
+        module, variables = codec.module, codec.variables
+        x = np.asarray(jax.random.uniform(jax.random.key(8), (1, 64, 64, 3)))
+        y, z = jax.device_get(codec._analyze(jnp.asarray(x)))
+        C = z.shape[-1]
+        medians = codec.eb_state.medians.reshape((1, 1, 1, C))
+        z_hat = np.round(z - medians) + medians
+        params = np.asarray(codec._params_on_scan_device(jnp.asarray(z_hat)))
+        H, W, M = y.shape[1:]
+
+        # mask-A conv only reads causal pixels, so evaluating the step on a
+        # FULLY-written buffer still exercises exactly the scan's math
+        y_hat = np.round(y[0])
+        y_hat_pad = (
+            jnp.zeros((H + 2 * PAD, W + 2 * PAD, M))
+            .at[PAD : PAD + H, PAD : PAD + W]
+            .set(y_hat)
+        )
+        prepare, step = make_wavefront_step(
+            module, variables, H, W, codec.gc_state.scale_table
+        )
+        pre1 = prepare(jnp.asarray(params[0]))
+        scales_scan = np.zeros((H, W, M), np.float32)
+        means_scan = np.zeros((H, W, M), np.float32)
+        for t in range(_wavefront_positions(H, W)):
+            h, w, valid, scales, means, _ = jax.device_get(
+                step(jnp.int32(t), y_hat_pad, pre1)
+            )
+            scales_scan[h[valid], w[valid]] = scales[valid]
+            means_scan[h[valid], w[valid]] = means[valid]
+
+        cls = type(module)
+        ctx = module.apply(
+            variables,
+            jnp.asarray(y_hat)[None],
+            method=lambda m, v: m.context_prediction(v),
+        )
+        sc_full, mn_full = jax.device_get(
+            module.apply(
+                variables,
+                jnp.asarray(params),
+                ctx,
+                method=cls.param_fuse,
+            )
+        )
+        np.testing.assert_allclose(scales_scan, sc_full[0], atol=1e-4)
+        np.testing.assert_allclose(means_scan, mn_full[0], atol=1e-4)
+
     def test_coded_size_close_to_likelihood_estimate(self, codec):
         x = np.asarray(jax.random.uniform(jax.random.key(5), (1, 64, 64, 3)))
         fwd = codec(jnp.asarray(x), training=False)
