@@ -9,7 +9,9 @@ depends only on pixels with 3h' + w' < 3h + w, so the anti-diagonal family
 t = 3h + w is processed in parallel — one `lax.scan` step per wavefront
 (3H + W - 3 steps total instead of H*W), all context convs / entropy MLPs /
 scale bucketing on device. The entropy coder sees one batched host call per
-image on encode, and one `io_callback` per wavefront on decode.
+image on encode, and one `io_callback` per wavefront on decode (serving all
+batch lanes at once when the scans run on a CPU device — see
+`_ar_batched_lanes`).
 
 Bitstream symbol order (this framework's format): wavefront-major
 (t ascending), row-major (h ascending) within a wavefront, channel-minor —
@@ -258,6 +260,33 @@ def _ar_decode_device():
         return jax.devices("cpu")[0]
     except RuntimeError:
         return None
+
+
+def _ar_batched_lanes(scan_dev) -> bool:
+    """Whether to decode all batch lanes inside ONE scan: one io_callback
+    per wavefront for the whole batch instead of one per wavefront per
+    image (the callback's fixed cost — ~0.75 ms measured on the tunnel
+    host — dominates the decode scan at Kodak size: 176 wavefronts x B).
+
+    Enabled only when the scans run on a CPU device (the tunnel-TPU pin or
+    a CPU backend) — the backend the bit-equality tests actually cover.
+    The batched graph keeps every lane's math op-for-op identical to the
+    single-image graph (an unrolled Python loop over lanes, NOT vmap, so
+    every dot keeps the single-image shape and reduction order); on-chip
+    scans keep the per-image graph because cross-graph bitwise equality
+    is untested there. LMIC_AR_BATCHED_DECODE: auto (default) | on | off.
+    """
+    import os
+
+    mode = os.environ.get("LMIC_AR_BATCHED_DECODE", "auto")
+    if mode in ("0", "off"):
+        return False
+    if mode in ("1", "on"):
+        return True
+    platform = (
+        scan_dev.platform if scan_dev is not None else jax.default_backend()
+    )
+    return platform == "cpu"
 
 
 def _scatter_wavefront(y_hat_pad, h_vec, w_safe, valid, y_vals):
@@ -645,6 +674,87 @@ class JointARCodec(CompressionCodec):
         self._encode_scan_cache[key] = wrapped
         return wrapped
 
+    def _get_decode_scan_batched(self, B: int, H: int, W: int):
+        """All-lanes decode scan: one ordered io_callback per wavefront
+        feeds every image's rANS lane, cutting the callback count B-fold.
+        Per-lane math is an unrolled loop over `step_fn` on single-image
+        shapes — bitwise-identical to the per-image scan (asserted by the
+        batched-vs-per-image and fanout-vs-single equality tests)."""
+        key = ("decb", B, H, W)
+        if key in self._encode_scan_cache:
+            return self._encode_scan_cache[key]
+
+        module = self.module
+        dec_dev, variables = self._ar_variables()
+        M = module.M
+        T = _wavefront_positions(H, W)
+        prepare_fn, step_fn = make_wavefront_step(
+            module, variables, H, W, self.gc_state.scale_table
+        )
+        decoder_box = {"lanes": []}
+        R = wavefront_rows(H, W)
+
+        def host_decode(indexes, valid):
+            indexes = np.asarray(indexes)  # (B, R, M)
+            valid = np.asarray(valid)      # (R,) — lane-independent
+            out = np.zeros((B, R, M), np.int32)
+            if valid.any():
+                for b, dec in enumerate(decoder_box["lanes"]):
+                    flat = indexes[b][valid].reshape(-1)
+                    vals = dec.decode_stream(flat, self.gc_state.table)
+                    out[b][valid] = vals.reshape(-1, M)
+            return out
+
+        def body(carry, t):
+            y_hat_pad = carry["y_hat"]  # (B, H+4, W+4, M)
+            pre1 = carry["params"]
+            per = [step_fn(t, y_hat_pad[b], pre1[b]) for b in range(B)]
+            # (h, w, valid) depend only on t: identical across lanes (CSEd)
+            h_vec, w_safe, valid = per[0][:3]
+            means = jnp.stack([p[4] for p in per])    # (B, R, M)
+            indexes = jnp.stack([p[5] for p in per])  # (B, R, M)
+            symbols = io_callback(
+                host_decode,
+                jax.ShapeDtypeStruct((B, R, M), jnp.int32),
+                indexes,
+                valid,
+                ordered=True,
+            )
+            y_vals = symbols.astype(jnp.float32) + means
+            carry["y_hat"] = jnp.stack([
+                _scatter_wavefront(
+                    y_hat_pad[b], h_vec, w_safe, valid, y_vals[b]
+                )
+                for b in range(B)
+            ])
+            return carry, None
+
+        def run(params):
+            """params: (B, H, W, 2M) -> y_hat (B, H, W, M)."""
+            carry = {
+                "y_hat": jnp.zeros(
+                    (B, H + 2 * PAD, W + 2 * PAD, M), jnp.float32
+                ),
+                # per-lane prepare keeps the single-image GEMM shape
+                "params": jnp.stack(
+                    [prepare_fn(params[b]) for b in range(B)]
+                ),
+            }
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(T))
+            return carry["y_hat"][:, PAD : PAD + H, PAD : PAD + W]
+
+        fn = jax.jit(run)
+        if dec_dev is not None:
+            inner = fn
+
+            def fn(params, _inner=inner, _dev=dec_dev):
+                with jax.default_device(_dev):
+                    return _inner(jax.device_put(params, _dev))
+
+        wrapped = (fn, decoder_box)
+        self._encode_scan_cache[key] = wrapped
+        return wrapped
+
     def _decode_y_hat(self, strings, shape) -> np.ndarray:
         """Decode the AR latent y_hat (B, H, W, M) from the bitstreams.
 
@@ -659,6 +769,27 @@ class JointARCodec(CompressionCodec):
             z_hat = self.eb_state.decompress(z_strings, tuple(shape))
             params = self._params_on_scan_device(z_hat)  # stays on device
             H, W = shape[0] * 4, shape[1] * 4
+
+            if (
+                len(y_strings) > 1
+                and not self._fanout_devices
+                and _ar_batched_lanes(_ar_decode_device())
+            ):
+                scan, decoder_box = self._get_decode_scan_batched(
+                    len(y_strings), H, W
+                )
+                lanes = []
+                for s in y_strings:
+                    dec = rans.RansDecoder()
+                    dec.set_stream(s)
+                    lanes.append(dec)
+                decoder_box["lanes"] = lanes
+                out = scan(params)
+                if _ar_decode_device() is None:
+                    out.block_until_ready()  # drain lanes inside the lock
+                    return out
+                return np.asarray(out)
+
             scan, decoder_box = self._get_decode_scan(H, W)
 
             lanes = []

@@ -81,6 +81,20 @@ class TestWavefrontRoundtrip:
             )
             np.testing.assert_array_equal(dec_y_hat, enc_y_hat)
 
+    def test_batched_decode_matches_per_image(self, codec, monkeypatch):
+        """The all-lanes decode scan (one io_callback per wavefront for the
+        whole batch) must be bit-identical to B independent per-image
+        scans: per-lane math keeps single-image dot shapes, so any
+        divergence is a real compiler-determinism break."""
+        x = np.asarray(jax.random.uniform(jax.random.key(9), (3, 64, 64, 3)))
+        out = codec.compress(x)
+
+        monkeypatch.setenv("LMIC_AR_BATCHED_DECODE", "on")
+        rec_b = codec.decompress(out["strings"], out["shape"], u8=True)
+        monkeypatch.setenv("LMIC_AR_BATCHED_DECODE", "off")
+        rec_s = codec.decompress(out["strings"], out["shape"], u8=True)
+        np.testing.assert_array_equal(rec_b["x_hat"], rec_s["x_hat"])
+
     def test_scan_params_match_param_fuse(self, codec):
         """The scan's tap contraction + hoisted/unrolled entropy-params MLP
         must agree with the module's masked-conv + param_fuse path (the
