@@ -679,7 +679,12 @@ class JointARCodec(CompressionCodec):
         feeds every image's rANS lane, cutting the callback count B-fold.
         Per-lane math is an unrolled loop over `step_fn` on single-image
         shapes — bitwise-identical to the per-image scan (asserted by the
-        batched-vs-per-image and fanout-vs-single equality tests)."""
+        batched-vs-per-image and fanout-vs-single equality tests).
+
+        Compiles per (B, H, W): each distinct batch size pays one compile
+        of the B-unrolled graph (the per-image scan is batch-agnostic).
+        Steady-batch serving amortizes it; callers decoding ragged batch
+        tails can set LMIC_AR_BATCHED_DECODE=off."""
         key = ("decb", B, H, W)
         if key in self._encode_scan_cache:
             return self._encode_scan_cache[key]
@@ -766,37 +771,34 @@ class JointARCodec(CompressionCodec):
         # lanes, so a second decompress on this codec must wait until this
         # call's scans have fully drained their lanes (np.asarray blocks)
         with self._decode_lock:
+            dec_dev = _ar_decode_device()  # bind ONCE per call: the gate
+            # and the return-path dispatch below must agree
             z_hat = self.eb_state.decompress(z_strings, tuple(shape))
             params = self._params_on_scan_device(z_hat)  # stays on device
             H, W = shape[0] * 4, shape[1] * 4
-
-            if (
-                len(y_strings) > 1
-                and not self._fanout_devices
-                and _ar_batched_lanes(_ar_decode_device())
-            ):
-                scan, decoder_box = self._get_decode_scan_batched(
-                    len(y_strings), H, W
-                )
-                lanes = []
-                for s in y_strings:
-                    dec = rans.RansDecoder()
-                    dec.set_stream(s)
-                    lanes.append(dec)
-                decoder_box["lanes"] = lanes
-                out = scan(params)
-                if _ar_decode_device() is None:
-                    out.block_until_ready()  # drain lanes inside the lock
-                    return out
-                return np.asarray(out)
-
-            scan, decoder_box = self._get_decode_scan(H, W)
 
             lanes = []
             for s in y_strings:
                 dec = rans.RansDecoder()
                 dec.set_stream(s)
                 lanes.append(dec)
+
+            if (
+                len(y_strings) > 1
+                and not self._fanout_devices
+                and _ar_batched_lanes(dec_dev)
+            ):
+                scan, decoder_box = self._get_decode_scan_batched(
+                    len(y_strings), H, W
+                )
+                decoder_box["lanes"] = lanes
+                out = scan(params)
+                if dec_dev is None:
+                    out.block_until_ready()  # drain lanes inside the lock
+                    return out
+                return np.asarray(out)
+
+            scan, decoder_box = self._get_decode_scan(H, W)
             decoder_box["lanes"] = lanes
 
             if self._fanout_devices and len(y_strings) > 1:
@@ -811,7 +813,7 @@ class JointARCodec(CompressionCodec):
                 scan(params[i], jnp.int32(i))
                 for i in range(len(y_strings))
             ]
-            if _ar_decode_device() is None:
+            if dec_dev is None:
                 # scans already ran on the synthesis device: stack there
                 # and skip the download/re-upload of the full y_hat tensor
                 # (~1.2 MB/image f32 at Kodak size, two link crossings).

@@ -81,6 +81,41 @@ class TestWavefrontRoundtrip:
             )
             np.testing.assert_array_equal(dec_y_hat, enc_y_hat)
 
+    def test_ar_bitstream_golden(self, codec):
+        """Freeze the AR wire format (md5 of the y/z streams for a seeded
+        codec + input). The AR entropy parameters are float-derived, so
+        ANY numerics change in the shared scan path (tap contraction, MLP
+        unrolling, table derivation) flips these hashes — cross-version
+        decode of persisted AR streams breaks silently otherwise. A
+        failure here means the change must be deliberate: regenerate with
+        GENERATE_EXPECTED=1 and call out the format break in the commit.
+        (Host-dependent caveat: XLA CPU codegen can differ across SIMD
+        generations; regenerate on the canonical host if moving CI.)"""
+        import hashlib
+        import json
+        import os
+        from pathlib import Path
+
+        x = np.asarray(
+            jax.random.uniform(jax.random.key(12), (2, 64, 64, 3))
+        )
+        out = codec.compress(x)
+        got = {
+            "y_md5": [hashlib.md5(s).hexdigest() for s in out["strings"][0]],
+            "z_md5": [hashlib.md5(s).hexdigest() for s in out["strings"][1]],
+            "shape": [int(v) for v in out["shape"]],
+        }
+        path = Path(__file__).parent / "expected" / "ar_mbt2018_golden.json"
+        if os.environ.get("GENERATE_EXPECTED"):
+            with open(path, "w") as f:
+                json.dump(got, f, indent=2, sort_keys=True)
+            return
+        if not path.exists():
+            pytest.fail(f"golden missing: {path} (GENERATE_EXPECTED=1)")
+        with open(path) as f:
+            want = json.load(f)
+        assert got == want, "AR bitstream format changed (see docstring)"
+
     def test_batched_decode_matches_per_image(self, codec, monkeypatch):
         """The all-lanes decode scan (one io_callback per wavefront for the
         whole batch) must be bit-identical to B independent per-image
