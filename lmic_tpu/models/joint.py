@@ -368,17 +368,32 @@ class JointARCodec(CompressionCodec):
         the CPU device (tunnel TPU), it avoids fetching the full params
         tensor from the TPU and re-uploading it (the params tensor is 2x
         the y tensor; at B=4 Kodak size that is ~9 MB of f32 per batch
-        each way on a link with ~25 ms fixed cost per transfer)."""
+        each way on a link with ~25 ms fixed cost per transfer).
+
+        h_s runs PER IMAGE (B=1 slices through one shared compile): the
+        params of image i are then independent of which batch it was
+        grouped into, so a stream encoded in a batch decodes bit-exactly
+        on its own — batched conv executables are not guaranteed to match
+        their B=1 counterparts ulp-for-ulp (one stale-cache codegen
+        mismatch flipped a scale bucket and desynced a lane in testing)."""
         fn = getattr(self, "_hyper_params_scan", None)
         if fn is None:
             dev, variables = self._ar_variables()
             module = self.module
             cls = type(module)
-            inner = jax.jit(
+            one = jax.jit(
                 lambda z: module.apply(
                     variables, z, method=cls.hyper_to_params
                 )
             )
+
+            def inner(z, _one=one):
+                if z.shape[0] == 1:
+                    return _one(z)
+                return jnp.concatenate(
+                    [_one(z[i : i + 1]) for i in range(z.shape[0])], axis=0
+                )
+
             if dev is not None:
                 def fn(z, _inner=inner, _dev=dev):
                     with jax.default_device(_dev):

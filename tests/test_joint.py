@@ -130,6 +130,34 @@ class TestWavefrontRoundtrip:
         rec_s = codec.decompress(out["strings"], out["shape"], u8=True)
         np.testing.assert_array_equal(rec_b["x_hat"], rec_s["x_hat"])
 
+    def test_batch_composition_invariance(self, codec):
+        """A stream encoded inside a batch must decode correctly on its
+        own: hyper params are computed per image (B=1 slices through one
+        shared compile), the encode scan is per-image, and the batched
+        decode scan is lane-for-lane identical to per-image scans — so
+        batch grouping can never leak into the WIRE. The pixels then go
+        through g_s at a different batch shape, whose conv executable may
+        differ in last-ulp terms: float tolerance there, bit equality on
+        the bytes."""
+        x = np.asarray(
+            jax.random.uniform(jax.random.key(11), (3, 64, 64, 3))
+        )
+        out = codec.compress(x)
+        rec = codec.decompress(out["strings"], out["shape"], u8=False)
+        for i in range(3):
+            single = codec.compress(x[i : i + 1])
+            assert bytes(single["strings"][0][0]) == bytes(
+                out["strings"][0][i]
+            ), "encode bits depend on batch grouping"
+            one = codec.decompress(
+                [[out["strings"][0][i]], [out["strings"][1][i]]],
+                out["shape"],
+                u8=False,
+            )
+            np.testing.assert_allclose(
+                rec["x_hat"][i], one["x_hat"][0], atol=1e-4
+            )
+
     def test_scan_params_match_param_fuse(self, codec):
         """The scan's tap contraction + hoisted/unrolled entropy-params MLP
         must agree with the module's masked-conv + param_fuse path (the
