@@ -130,6 +130,24 @@ class TestWavefrontRoundtrip:
         rec_s = codec.decompress(out["strings"], out["shape"], u8=True)
         np.testing.assert_array_equal(rec_b["x_hat"], rec_s["x_hat"])
 
+    def test_truncated_stream_fails_safe(self, codec):
+        """A truncated y stream must not hang, crash, or overread: the
+        bounds-checked rANS decoder feeds deterministic garbage symbols,
+        the recon stays finite, and the codec (its decode lock and lane
+        box) remains usable for the next call."""
+        x = np.asarray(
+            jax.random.uniform(jax.random.key(13), (2, 64, 64, 3))
+        )
+        out = codec.compress(x)
+        bad = [
+            [out["strings"][0][0][:8], out["strings"][0][1]],
+            out["strings"][1],
+        ]
+        rec = codec.decompress(bad, out["shape"])
+        assert np.isfinite(np.asarray(rec["x_hat"])).all()
+        rec2 = codec.decompress(out["strings"], out["shape"])
+        assert rec2["x_hat"].shape == x.shape
+
     def test_batch_composition_invariance(self, codec):
         """A stream encoded inside a batch must decode correctly on its
         own: hyper params are computed per image (B=1 slices through one
