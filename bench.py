@@ -1,6 +1,7 @@
 """End-to-end codec throughput benchmark (run by the driver on real TPU).
 
 Covers all five BASELINE.json configs at Kodak geometry (768x512), q=1,
+plus the fork's own RGB-T guided/master pair at its eval geometry,
 measuring FULL encode+decode — device transforms AND host rANS coding — in
 megapixels/second. Prints one JSON line per config as it completes, then a
 final headline line with the geometric-mean speedup (the driver parses the
@@ -36,6 +37,13 @@ BASELINES = {
     "mbt2018": (0.02527, "published_cpu_json_q1"),
     "cheng2020-attn": (0.02953, "published_cpu_json_q1"),
     "ssf2020": (0.1156, "reference_measured_on_this_host"),
+    # RGB-T guided+master pair (the fork's own contribution) at the
+    # reference eval geometry at half linear scale (master 256x320
+    # thermal, guide 512x640 RGB): the actual reference torch flow
+    # (guide enc+dec + master enc; decoder-side guide re-code + master
+    # dec — codec_rgbt.py:361-363,543-545) measured once on this host,
+    # torch 1-thread: 30.9 s per 0.4096 MP pair.
+    "rgbt-master": (0.01326, "reference_measured_on_this_host"),
 }
 
 H, W = 768, 512  # Kodak geometry
@@ -269,6 +277,83 @@ def bench_video(T=3, iters=8):
     return max(medians), extra
 
 
+def bench_rgbt(iters=3):
+    """RGB-T guided+master pair — the fork's OWN contribution
+    (Guided_compresser/Master_compresser, master.py). Reference eval
+    geometry at half linear scale: thermal master 256x320, RGB guide
+    512x640 (Master_compresser(width=512, height=640) hard-wired,
+    codec_rgbt.py:484; the reference's full-scale forward alone costs
+    >5 min on this host). Measures the complete file-codec flow both
+    directions, exactly like the reference app: encode = guide enc+dec +
+    master enc (codec_rgbt.py:361-363); decode = decoder-side guide
+    re-code + master dec (:543-545). Throughput counts master+guide
+    pixels once per pair (0.4096 MP)."""
+    import jax
+
+    from lmic_tpu import zoo
+    from lmic_tpu.models.joint import _ar_decode_device
+
+    guided = zoo.create_model(
+        "guided", 1, key=jax.random.key(0), input_size=(512, 640),
+        channel=3,
+    )
+    master = zoo.create_model(
+        "master", 1, key=jax.random.key(0), input_size=(256, 320),
+        channel=1,
+    )
+    guided.update(force=True)
+    master.update(force=True)
+    rng = np.random.default_rng(0)
+    xg = (rng.random((1, 512, 640, 3)) * 255).astype(np.uint8)
+    xm = (rng.random((1, 256, 320, 1)) * 255).astype(np.uint8)
+
+    split = {}
+
+    def roundtrip():
+        t0 = time.perf_counter()
+        g_out = guided.compress(xg, hidden=False)
+        g_dec = guided.decompress(g_out["strings"], g_out["shape"])
+        m_out = master.compress(xm, g_dec["x_hat"])
+        t1 = time.perf_counter()
+        g_out2 = guided.compress(xg, hidden=False)
+        g_dec2 = guided.decompress(g_out2["strings"], g_out2["shape"])
+        rec = master.decompress(m_out, g_dec2)
+        out = np.asarray(rec["x_hat"])
+        split["enc_ms"] = round((t1 - t0) * 1e3, 1)
+        split["dec_ms"] = round((time.perf_counter() - t1) * 1e3, 1)
+        return out
+
+    x_hat = roundtrip()  # warmup/compile (Swin aligners: 1-2 min on TPU)
+    assert x_hat.shape == xm.shape
+    guided.stats.clear()
+    master.stats.clear()
+    roundtrip()  # stage-attribution roundtrip
+    stages = dict(split)  # whole-side wall splits (enc flow vs dec flow)
+    stages.update({f"guided_{k}": v for k, v in guided.stats.items()})
+    stages.update({f"master_{k}": v for k, v in master.stats.items()})
+
+    mp = (512 * 640 + 256 * 320) / 1e6
+
+    def one_pass():
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            roundtrip()
+            times.append(time.perf_counter() - t0)
+        return _median_mp_s(times, mp)
+
+    medians = [one_pass(), one_pass()]
+    extra = {
+        "pair_mp": mp,
+        "pass_mp_s": [round(m, 4) for m in medians],
+        "stages_ms": stages,
+        "ar_decode_device":
+            "cpu" if _ar_decode_device() is not None else "default",
+        "gdn_backend": _gdn_backend(),
+    }
+    return max(medians), extra
+
+
 def bench_train_step(B=8, size=256, iters=10):
     """SPMD train-step line: step time, images/s, and an MFU estimate from
     XLA's own flop count vs chip peak (LMIC_TPU_PEAK_FLOPS; defaults to
@@ -400,6 +485,7 @@ def main():
         "mbt2018": lambda: bench_ar("mbt2018"),
         "cheng2020-attn": lambda: bench_ar("cheng2020-attn"),
         "ssf2020": bench_video,
+        "rgbt-master": bench_rgbt,
     }
 
     link = wait_for_link(probe_mb=16)
