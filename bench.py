@@ -311,9 +311,11 @@ def bench_rgbt(iters=3):
 
     def roundtrip():
         t0 = time.perf_counter()
-        g_out = guided.compress(xg, hidden=False)
-        g_dec = guided.decompress(g_out["strings"], g_out["shape"])
-        m_out = master.compress(xm, g_dec["x_hat"])
+        # encoder side: the encode scan's y_hat is bit-equal to the decode
+        # scan's, so reconstruct=True replaces the reference's
+        # compress-then-decompress-your-own-streams with one pass
+        g_out = guided.compress(xg, hidden=False, reconstruct=True)
+        m_out = master.compress(xm, g_out["x_hat"])
         t1 = time.perf_counter()
         g_out2 = guided.compress(xg, hidden=False)
         g_dec2 = guided.decompress(g_out2["strings"], g_out2["shape"])

@@ -518,9 +518,15 @@ class JointARCodec(CompressionCodec):
         self._encode_scan_cache[key] = fn
         return fn
 
-    def _code_y_z(self, y: np.ndarray, z: np.ndarray):
+    def _code_y_z(self, y: np.ndarray, z: np.ndarray,
+                  keep_y_hat: bool = False):
         """Entropy-code (y, z) arrays: z via the bottleneck, y via the
-        wavefront AR scan. Shared by mbt2018/cheng2020/RGBT codecs."""
+        wavefront AR scan. Shared by mbt2018/cheng2020/RGBT codecs.
+
+        keep_y_hat=True additionally returns the encode scan's quantized
+        latent under "y_hat_latent" — bit-equal to what the decode scan
+        reconstructs from the streams (the roundtrip invariant), so an
+        encode-side consumer can skip a full decode pass."""
         z_strings = self.eb_state.compress(z)
         C = z.shape[-1]
         medians = self.eb_state.medians.reshape((1, 1, 1, C))
@@ -529,6 +535,7 @@ class JointARCodec(CompressionCodec):
 
         B, H, W, M = y.shape
         scan = self._get_encode_scan(H, W)
+        y_hats = [None] * B if keep_y_hat else None
 
         def encode_one(i, dev=None):
             # y[i] stays a host array: the scan wrapper (or fanout's
@@ -539,7 +546,11 @@ class JointARCodec(CompressionCodec):
             if dev is not None:
                 yi = jax.device_put(yi, dev)
                 pi = jax.device_put(pi, dev)
-            symbols, indexes, valid, _ = jax.device_get(scan(yi, pi))
+            symbols, indexes, valid, y_hat_pad = jax.device_get(
+                scan(yi, pi)
+            )
+            if keep_y_hat:
+                y_hats[i] = y_hat_pad[PAD : PAD + H, PAD : PAD + W]
             sel = valid.reshape(-1)  # (T*R,)
             sym_flat = symbols.reshape(-1, M)[sel].reshape(-1)
             idx_flat = indexes.reshape(-1, M)[sel].reshape(-1)
@@ -555,7 +566,10 @@ class JointARCodec(CompressionCodec):
         else:
             y_strings = [encode_one(i) for i in range(B)]
         self._stat("enc_scan_rans_ms", t0)
-        return {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+        out = {"strings": [y_strings, z_strings], "shape": z.shape[1:3]}
+        if keep_y_hat:
+            out["y_hat_latent"] = np.stack(y_hats)
+        return out
 
     def compress_async(self, x):
         """Dispatch the transform-device half (analyze + its host copy)

@@ -465,8 +465,35 @@ class GuidedCodec(JointARCodec):
             lambda y: module.apply(variables, y, method=cls.g_s_hidden)
         )
 
-    def compress(self, x, hidden: bool = True):
-        out = super().compress(x)
+    def compress(self, x, hidden: bool = True, reconstruct: bool = False):
+        """reconstruct=True additionally returns the DECODER's exact
+        output under "x_hat"/"hidden_dec": the encode scan's y_hat is
+        bit-equal to what the decode scan rebuilds from the streams (the
+        roundtrip invariant), so the encoder side of the RGBT flow —
+        which the reference implements as compress() then a full
+        decompress() of its own streams (codec_rgbt.py:361-363) — skips
+        a whole decode scan + rANS decode per guide while producing
+        bit-identical downstream results (asserted in test_rgbt)."""
+        if reconstruct:
+            self._check_updated()
+            x_np = np.asarray(x)
+            self._check_dims(x_np)
+            if x_np.dtype == np.uint8:
+                if not hasattr(self, "_analyze_u8_ar"):
+                    self._build_u8_io()
+                y, z = jax.device_get(self._analyze_u8_ar(jnp.asarray(x_np)))
+            else:
+                y, z = jax.device_get(self._analyze(jnp.asarray(x_np)))
+            out = self._code_y_z(
+                np.asarray(y), np.asarray(z), keep_y_hat=True
+            )
+            x_hat, hidden_dec = self._g_s_hidden(
+                jnp.asarray(out.pop("y_hat_latent"))
+            )
+            out["x_hat"] = jnp.clip(x_hat, 0.0, 1.0)
+            out["hidden_dec"] = hidden_dec
+        else:
+            out = super().compress(x)
         # hidden analysis maps (ga*), as the reference emits on compress;
         # left on device — the consumer (master codec / training) is a
         # device computation, and the maps are large. hidden=False skips

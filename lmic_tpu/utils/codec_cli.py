@@ -277,9 +277,11 @@ def encode_rgbt(master_path, guide_path, output_path, guided_codec,
         )
     except ValueError as e:
         raise SystemExit(str(e))
-    g_out = guided_codec.compress(guided, hidden=False)
-    g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
-    m_out = master_codec.compress(x, g_dec["x_hat"])
+    # reconstruct=True yields the decoder's exact x_hat from the encode
+    # scan (bit-equal by the roundtrip invariant) — no decode pass needed
+    # on the encoder side, identical container bytes
+    g_out = guided_codec.compress(guided, hidden=False, reconstruct=True)
+    m_out = master_codec.compress(x, g_out["x_hat"])
     beta = np.asarray(m_out["beta"]).reshape(-1)
     gamma = np.asarray(m_out["gamma"]).reshape(-1)
     with open(output_path, "wb") as f:

@@ -125,6 +125,29 @@ class TestGuided:
             bytes(s) for g in out8["strings"] for s in g
         ]
 
+    def test_compress_reconstruct_matches_decompress(self, guided_pair):
+        """reconstruct=True must yield the DECODER's exact output — same
+        streams, bit-equal x_hat and gs* hidden maps as a real
+        decompress() of those streams (the encoder-side shortcut the RGBT
+        flow uses instead of decompressing its own guide streams)."""
+        codec, _ = guided_pair
+        x8 = (np.random.default_rng(7).random((1, 64, 64, 1)) * 255
+              ).astype(np.uint8)
+        enc = codec.compress(x8, hidden=False, reconstruct=True)
+        ref = codec.compress(x8, hidden=False)
+        assert [bytes(s) for g in enc["strings"] for s in g] == [
+            bytes(s) for g in ref["strings"] for s in g
+        ]
+        dec = codec.decompress(ref["strings"], ref["shape"])
+        np.testing.assert_array_equal(
+            np.asarray(enc["x_hat"]), np.asarray(dec["x_hat"])
+        )
+        for k in ("gs1", "gs2", "gs3"):
+            np.testing.assert_array_equal(
+                np.asarray(enc["hidden_dec"][k]),
+                np.asarray(dec["hidden"][k]),
+            )
+
     def test_compress_decompress_hidden(self, guided_out):
         out, dec = guided_out
         assert set(out["hidden"]) == {"ga1", "ga2", "ga3"}
