@@ -126,10 +126,13 @@ def eval_rgbt_pair(guided_codec, master_codec, x, guided,
             "bpp": bits / num_pixels,
         }
     t0 = time.perf_counter()
-    g_out = guided_codec.compress(guided, hidden=False)
-    g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
-    m_out = master_codec.compress(x, g_dec["x_hat"])
+    # the encoder reconstructs the guide from its own encode scan
+    # (bit-equal to a decompress of the streams) instead of decoding its
+    # own streams like the reference flow does
+    g_out = guided_codec.compress(guided, hidden=False, reconstruct=True)
+    m_out = master_codec.compress(x, g_out["x_hat"])
     enc_time = time.perf_counter() - t0
+    g_dec = {"x_hat": g_out["x_hat"], "hidden": g_out["hidden_dec"]}
     t0 = time.perf_counter()
     m_dec = master_codec.decompress(m_out, g_dec)
     dec_time = time.perf_counter() - t0

@@ -196,3 +196,21 @@ def test_eval_rgbt_golden(tmp_path):
         "--crop-size", "64", "64",
     ])
     _check_golden(results, "eval_rgbt_master_1.json")
+
+
+@pytest.mark.slow
+def test_eval_rgbt_codec_golden(tmp_path):
+    """Paired guided+master eval through the REAL coder: guide coded via
+    the wavefront scans, encoder-side reconstruct shortcut, master
+    streams + beta/gamma bpp — the full production path the EE-mode
+    golden above cannot regress."""
+    master_dir = tmp_path / "val" / "thermal_8_bit"
+    guide_dir = tmp_path / "val" / "RGB"
+    _write_images(master_dir, ["FLIR_08865.png"], size=(512, 640), mode="L")
+    _write_images(guide_dir, ["FLIR_08865.png"], size=(512, 640))
+    results = _run_eval(tmp_path, [
+        "--arch", "master", "-q", "1", "--channel", "1",
+        "-d", str(master_dir), "--rgbt",
+        "--crop-size", "64", "64",
+    ])
+    _check_golden(results, "eval_rans_rgbt_master_1.json")
