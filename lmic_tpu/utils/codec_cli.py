@@ -334,11 +334,13 @@ def decode_rgbt(input_path, guide_path, output_path, build_guided,
             f"{guided.shape[1]}x{guided.shape[2]} — use the guide the "
             "stream was encoded with (or a same-size copy)"
         )
-    g_out = guided_codec.compress(guided, hidden=False)
-    g_dec = guided_codec.decompress(g_out["strings"], g_out["shape"])
+    # the guide re-code is a local deterministic computation (the decoder
+    # has the guide source): reconstruct=True yields the decode-identical
+    # x_hat/gs* straight from the encode scan, skipping a decode pass
+    g_out = guided_codec.compress(guided, hidden=False, reconstruct=True)
     rec = master_codec.decompress(
         {"strings": strings, "shape": shape, "beta": beta, "gamma": gamma},
-        g_dec,
+        {"x_hat": g_out["x_hat"], "hidden": g_out["hidden_dec"]},
     )
     _save(crop_center(rec["x_hat"], H, W), output_path)
 
