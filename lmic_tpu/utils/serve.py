@@ -35,8 +35,11 @@ RGBT pair is served single-image), not from racing requests.
 
 from __future__ import annotations
 
+import collections
+import hashlib
 import io
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -133,11 +136,13 @@ def _codec_handlers(codec, video):
 
 def _rgbt_handlers(guided_codec, master_codec):
     """RGBT pair serving (the paper's flagship guided/master models).
-    The guide is coded + decoded on BOTH legs and its stream is NOT part
-    of the master payload (the reference's decoder re-codes the guide
-    from its own source, codec_rgbt.py:538-544) — so the decompress
-    request carries the guide pixels again. Pixels cross as uint8 and
-    are normalized here; the guided hidden-tap path is float-only."""
+    The guide is re-coded on BOTH legs (one-pass encode-scan reconstruct)
+    and its stream is NOT part of the master payload (the reference's
+    decoder re-codes the guide from its own source, codec_rgbt.py:538-544)
+    — so the decompress request carries the guide pixels again, and a
+    small content-keyed LRU skips the re-code when the same guide hits
+    both legs of one daemon. Pixels cross as uint8 and are normalized
+    here; the guided hidden-tap path is float-only."""
 
     def as_float(pix):
         # the pair is served single-image: beta/gamma are (B, 1, 1, 64)
@@ -148,10 +153,35 @@ def _rgbt_handlers(guided_codec, master_codec):
             )
         return pix.astype(np.float32) / 255.0
 
+    # Guide-reconstruction LRU: the decompress leg re-codes the SAME
+    # guide the compress leg just ran (the stream does not carry the
+    # guide — reference convention), so a roundtrip through one daemon
+    # pays the dominant guide AR scan twice. Entries hold device arrays
+    # (x_hat + gs taps — tens of MB at eval geometry), hence the small
+    # default; LMIC_SERVE_GUIDE_CACHE=0 disables. Handlers run under the
+    # server lock, so no extra locking here.
+    cache_n = int(os.environ.get("LMIC_SERVE_GUIDE_CACHE", "2"))
+    guide_cache = collections.OrderedDict()
+
     def run_guide(guide):
-        # streams only — the master consumes the decompress-side hidden
-        g_out = guided_codec.compress(guide, hidden=False)
-        return guided_codec.decompress(g_out["strings"], g_out["shape"])
+        key = None
+        if cache_n > 0:
+            key = (guide.shape, hashlib.md5(guide.tobytes()).hexdigest())
+            hit = guide_cache.get(key)
+            if hit is not None:
+                guide_cache.move_to_end(key)
+                return hit
+        # one-pass reconstruct: the encode scan's y_hat is bit-equal to
+        # what the decode scan rebuilds from the streams (roundtrip
+        # invariant), so the decoder-exact x_hat/gs* come straight from
+        # the encode scan — no decode scan + rANS decode per guide
+        g_out = guided_codec.compress(guide, hidden=False, reconstruct=True)
+        g_dec = {"x_hat": g_out["x_hat"], "hidden": g_out["hidden_dec"]}
+        if key is not None:
+            guide_cache[key] = g_dec
+            while len(guide_cache) > cache_n:
+                guide_cache.popitem(last=False)
+        return g_dec
 
     def compress(f):
         x = as_float(_read_pixels(f))

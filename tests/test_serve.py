@@ -269,6 +269,55 @@ class TestRGBTServing:
             server.shutdown()
             server.server_close()
 
+    def test_guide_cache_one_recode_per_roundtrip(self, pair, monkeypatch):
+        """A compress->decompress roundtrip with the same guide re-codes
+        the guide ONCE (content-keyed LRU in _rgbt_handlers); with the
+        cache disabled it re-codes twice and the responses are
+        byte-identical either way."""
+        gc, _mc = pair
+        xm_u8 = _pixels((1, 128, 128, 3), seed=30)
+        xg_u8 = _pixels((1, 64, 64, 1), seed=31)
+
+        real = gc.compress
+        calls = {"n": 0}
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return real(*a, **k)
+
+        monkeypatch.setattr(gc, "compress", counting)
+
+        def run(cache_env):
+            monkeypatch.setenv("LMIC_SERVE_GUIDE_CACHE", cache_env)
+            calls["n"] = 0
+            server = make_server(
+                pair, {"family": "rgbt", "input_shape": None, "channel": 3}
+            )
+            t = threading.Thread(target=server.serve_forever, daemon=True)
+            t.start()
+            try:
+                port = server.server_address[1]
+                status, framed = _post(
+                    port, "/compress",
+                    _pixel_payload(xm_u8) + _pixel_payload(xg_u8),
+                )
+                assert status == 200
+                status, rec = _post(
+                    port, "/decompress", framed + _pixel_payload(xg_u8)
+                )
+                assert status == 200
+            finally:
+                server.shutdown()
+                server.server_close()
+            return framed, rec, calls["n"]
+
+        framed1, rec1, n1 = run("2")
+        framed0, rec0, n0 = run("0")
+        assert n1 == 1  # decompress leg hit the cache
+        assert n0 == 2  # cache disabled: one re-code per leg
+        assert framed1 == framed0
+        assert rec1 == rec0
+
 
 def test_aot_bundle_served(tmp_path):
     """The deployment pairing: export an AOT bundle, load it without
