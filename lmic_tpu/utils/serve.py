@@ -163,10 +163,15 @@ def _rgbt_handlers(guided_codec, master_codec):
     cache_n = int(os.environ.get("LMIC_SERVE_GUIDE_CACHE", "2"))
     guide_cache = collections.OrderedDict()
 
-    def run_guide(guide):
+    def run_guide(guide_u8):
+        # key on the raw uint8 wire pixels (4x fewer bytes than the float
+        # conversion, which is deterministic) with a collision-resistant
+        # hash: request pixels are attacker-controllable, and an engineered
+        # collision would silently reconstruct against the wrong guide
         key = None
         if cache_n > 0:
-            key = (guide.shape, hashlib.md5(guide.tobytes()).hexdigest())
+            key = (guide_u8.shape,
+                   hashlib.sha256(guide_u8.tobytes()).hexdigest())
             hit = guide_cache.get(key)
             if hit is not None:
                 guide_cache.move_to_end(key)
@@ -175,7 +180,9 @@ def _rgbt_handlers(guided_codec, master_codec):
         # what the decode scan rebuilds from the streams (roundtrip
         # invariant), so the decoder-exact x_hat/gs* come straight from
         # the encode scan — no decode scan + rANS decode per guide
-        g_out = guided_codec.compress(guide, hidden=False, reconstruct=True)
+        g_out = guided_codec.compress(
+            as_float(guide_u8), hidden=False, reconstruct=True
+        )
         g_dec = {"x_hat": g_out["x_hat"], "hidden": g_out["hidden_dec"]}
         if key is not None:
             guide_cache[key] = g_dec
@@ -185,15 +192,15 @@ def _rgbt_handlers(guided_codec, master_codec):
 
     def compress(f):
         x = as_float(_read_pixels(f))
-        guide = as_float(_read_pixels(f))
+        guide_u8 = _read_pixels(f)
         # validate BEFORE the expensive guide AR encode+decode runs under
         # the server lock; check_geometry is the same policy the codec and
         # the file-codec CLI enforce, and ValueError maps to a 400
         master_codec.check_geometry(
             int(x.shape[1]), int(x.shape[2]),
-            tuple(map(int, guide.shape[1:3])), guide_what="guide image",
+            tuple(map(int, guide_u8.shape[1:3])), guide_what="guide image",
         )
-        g_dec = run_guide(guide)
+        g_dec = run_guide(guide_u8)
         m_out = master_codec.compress(x, g_dec["x_hat"])
         beta = np.asarray(m_out["beta"], np.float32).reshape(-1)
         gamma = np.asarray(m_out["gamma"], np.float32).reshape(-1)
@@ -216,14 +223,14 @@ def _rgbt_handlers(guided_codec, master_codec):
         gamma = np.asarray(read_floats(f, 64), np.float32).reshape(
             1, 1, 1, 64
         )
-        guide = as_float(_read_pixels(f))
+        guide_u8 = _read_pixels(f)
         # the body's z-latent shape pins the master geometry (H = z*factor)
         factor = master_codec.module.downsampling_factor
         master_codec.check_geometry(
             int(shape[0]) * factor, int(shape[1]) * factor,
-            tuple(map(int, guide.shape[1:3])), guide_what="guide image",
+            tuple(map(int, guide_u8.shape[1:3])), guide_what="guide image",
         )
-        g_dec = run_guide(guide)
+        g_dec = run_guide(guide_u8)
         rec = master_codec.decompress(
             {"strings": strings, "shape": shape,
              "beta": beta, "gamma": gamma},
