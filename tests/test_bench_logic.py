@@ -93,11 +93,11 @@ def test_main_train_only_exits_zero(monkeypatch, capsys):
     # geomean line, exit 0, train line is the LAST JSON line
     rc, lines = _run_main(
         monkeypatch, capsys, "train",
-        bench_train_step=lambda: {"metric": "train_step_time",
-                                  "value": 1.0, "unit": "ms"},
+        bench_train_step=lambda B=8, size=256: {
+            "metric": f"train_step_time_b{B}", "value": 1.0, "unit": "ms"},
     )
     assert rc == 0
-    assert lines[-1]["metric"] == "train_step_time"
+    assert lines[-1]["metric"] == "train_step_time_b64"
 
 
 def test_main_train_only_failure_exits_one(monkeypatch, capsys):
@@ -106,6 +106,96 @@ def test_main_train_only_failure_exits_one(monkeypatch, capsys):
 
     rc, _ = _run_main(monkeypatch, capsys, "train", bench_train_step=boom)
     assert rc == 1
+
+
+def test_main_deadline_degrades_to_single_pass(monkeypatch, capsys):
+    # slack below the cold estimate but above a single fast pass ->
+    # the config still runs, with passes=1
+    monkeypatch.setattr(bench, "_remaining", lambda: 150.0)
+    seen = {}
+
+    def fake(arch, passes=2):
+        seen[arch] = passes
+        return 5.0, {}
+
+    rc, lines = _run_main(
+        monkeypatch, capsys, "bmshj2018-hyperprior", bench_pipelined=fake
+    )
+    assert seen == {"bmshj2018-hyperprior": 1}
+    assert lines[-1]["n_configs"] == 1
+    assert "deadline_skipped" not in lines[-1]
+
+
+def test_main_deadline_skips_config_and_reports(monkeypatch, capsys):
+    # 100s left, two configs: the first (hyperprior, fast=110) cannot fit
+    # once the second's single-pass reserve (90) is held back -> skipped
+    # and named in the geomean line; the second runs single-pass
+    monkeypatch.setattr(bench, "_remaining", lambda: 100.0)
+    seen = {}
+
+    def fake(arch, passes=2):
+        seen[arch] = passes
+        return 5.0, {}
+
+    rc, lines = _run_main(
+        monkeypatch, capsys,
+        "bmshj2018-hyperprior,bmshj2018-factorized", bench_pipelined=fake,
+    )
+    assert seen == {"bmshj2018-factorized": 1}
+    assert lines[-1]["deadline_skipped"] == ["bmshj2018-hyperprior"]
+    assert lines[-1]["n_configs"] == 1
+
+
+def test_main_below_bar_revisit_single_pass(monkeypatch, capsys):
+    # a below-10x first measurement gets one compile-cached single-pass
+    # revisit; the better number stands and is flagged revisit=true
+    monkeypatch.setattr(bench, "_remaining", lambda: 10_000.0)
+    calls = []
+
+    def fake(arch, passes=2):
+        calls.append(passes)
+        return (1.0, {}) if len(calls) == 1 else (3.0, {})
+
+    rc, lines = _run_main(
+        monkeypatch, capsys, "bmshj2018-factorized", bench_pipelined=fake
+    )
+    assert calls == [2, 1]
+    revisits = [ln for ln in lines if ln.get("revisit")]
+    assert len(revisits) == 1
+    assert revisits[0]["value"] == 3.0
+    assert lines[-1]["value"] == pytest.approx(
+        round(3.0 / bench.BASELINES["bmshj2018-factorized"][0], 2)
+    )
+
+
+def test_main_train_scaling_line_skipped_near_deadline(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_remaining", lambda: 60.0)
+    calls = []
+
+    def fake_train(B=8, size=256):
+        calls.append(B)
+        return {"metric": f"train_step_hyperprior_{size}px_b{B}",
+                "value": 1.0, "unit": "images/s"}
+
+    rc, lines = _run_main(monkeypatch, capsys, "train",
+                          bench_train_step=fake_train)
+    assert rc == 0
+    assert calls == [8]
+
+
+def test_main_train_scaling_line_runs_with_time(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_remaining", lambda: 10_000.0)
+    calls = []
+
+    def fake_train(B=8, size=256):
+        calls.append(B)
+        return {"metric": f"train_step_hyperprior_{size}px_b{B}",
+                "value": 1.0, "unit": "images/s"}
+
+    rc, lines = _run_main(monkeypatch, capsys, "train",
+                          bench_train_step=fake_train)
+    assert rc == 0
+    assert calls == [8, 64]
 
 
 def test_main_codec_selected_but_failed_exits_one(monkeypatch, capsys):
