@@ -48,6 +48,68 @@ def _bitcast_u8(a):
     return jax.lax.bitcast_convert_type(a, jnp.uint8).reshape(-1)
 
 
+class _PerItem:
+    """Run a jitted B=1 device graph once per batch item.
+
+    Wire-determining convolution graphs (analysis transforms, the hyper
+    synthesis that yields entropy indexes) must not see the batch shape:
+    batched conv executables are not guaranteed to match their B=1
+    counterparts ulp-for-ulp, and a 1-ulp scale difference flips a
+    Gaussian-conditional bucket — on the params path that desyncs the
+    whole rANS stream. The AR family hit exactly this (a stale-cache
+    codegen mismatch between a batched and a B=1 h_s executable) and
+    fixed it by running h_s on B=1 slices; this wrapper generalizes that
+    fix: every batch item runs a B=1 slice through ONE shared compile,
+    so symbols and indexes are independent of batch grouping on every
+    codec path, at any batch size, sharded or not.
+
+    `post`, when given, is a batched LAYOUT-ONLY jit (bitcasts, reshapes,
+    flag reductions — no convolutions) applied to the concatenated
+    per-item results; its output is bit-identical for any grouping by
+    construction.
+
+    Multi-device serving (`parallel.shard_codec`) assigns `devices`:
+    items are placed round-robin across the mesh, every device running
+    the same B=1 program — a homogeneous device set produces identical
+    numerics (the same assumption the AR fan-out and `check_homogeneous`
+    already make). Results concatenate on the first device.
+
+    `inner` (the shared B=1 jit) stays exposed for AOT export
+    (utils/aot.py serializes it at B=1 and re-wraps on load).
+    """
+
+    def __init__(self, inner, post=None, devices=None):
+        self.inner = inner
+        self.post = post
+        self.devices = devices
+
+    def _run(self, *args):
+        B = args[0].shape[0]
+        devs = self.devices
+        if B == 1 and not devs:
+            return self.inner(*args)
+        outs = []
+        for i in range(B):
+            sl = [a[i:i + 1] for a in args]
+            if devs:
+                dev = devs[i % len(devs)]
+                sl = [jax.device_put(a, dev) for a in sl]
+            outs.append(self.inner(*sl))
+        if B == 1:
+            return outs[0]
+        if devs:
+            outs = [jax.device_put(o, devs[0]) for o in outs]
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *outs
+        )
+
+    def __call__(self, *args):
+        out = self._run(*args)
+        if self.post is None:
+            return out
+        return self.post(*out) if isinstance(out, tuple) else self.post(out)
+
+
 class CompressionCodec:
     """Base wrapper: module + variables + coding state."""
 
@@ -144,9 +206,11 @@ class FactorizedPriorCodec(CompressionCodec):
     def __init__(self, module, variables):
         super().__init__(module, variables)
         cls = type(module)
-        self._g_a = jax.jit(
+        # analysis is wire-determining (its output becomes the coded
+        # symbols): per-image B=1 slices through one shared compile
+        self._g_a = _PerItem(jax.jit(
             lambda x: module.apply(variables, x, method=cls.g_a)
-        )
+        ))
         self._g_s = jax.jit(
             lambda y: jnp.clip(
                 module.apply(variables, y, method=cls.g_s), 0.0, 1.0
@@ -172,7 +236,9 @@ class FactorizedPriorCodec(CompressionCodec):
         """Transfer-optimized device passes: images cross the host<->device
         link as uint8 and latents as channel-major int8 symbols (int16
         fallback when any symbol overflows int8 — measured +18% end-to-end
-        on the tunnel-attached TPU, where link bytes dominate, not FLOPs)."""
+        on the tunnel-attached TPU, where link bytes dominate, not FLOPs).
+        The wire-determining analysis runs per image (`_PerItem`); the
+        packed-transfer layout is a batched layout-only post stage."""
         module, variables = self.module, self.variables
         cls = type(module)
         medians = jnp.asarray(self.eb_state.medians)
@@ -184,17 +250,17 @@ class FactorizedPriorCodec(CompressionCodec):
             overflow = jnp.sum((sym < -128) | (sym > 127))
             return (
                 jnp.moveaxis(sym, -1, 1).astype(jnp.int8),  # coder layout
-                overflow.astype(jnp.int32),
+                overflow.astype(jnp.int32).reshape(1),      # per-item flag
             )
 
-        def enc_packed(x_u8):
+        def pack(sym8, overflow):
             # single-fetch layout: [1B overflow flag | int8 symbols].
             # The tunnel-attached TPU pays a ~25 ms fixed cost per
             # device->host transfer, so the flag and the symbols must come
             # back in ONE buffer (measured: 3 separate fetches cost ~70 ms
-            # more than one combined fetch at equal bytes).
-            sym8, overflow = enc8(x_u8)
-            flag = (overflow > 0).astype(jnp.uint8).reshape(1)
+            # more than one combined fetch at equal bytes). Layout-only:
+            # safe to run at batch shape.
+            flag = (jnp.sum(overflow) > 0).astype(jnp.uint8).reshape(1)
             return jnp.concatenate([flag, _bitcast_u8(sym8)])
 
         def enc16(x_u8):
@@ -212,8 +278,8 @@ class FactorizedPriorCodec(CompressionCodec):
             )
             return jnp.round(x * 255.0).astype(jnp.uint8)
 
-        self._enc_u8_packed = jax.jit(enc_packed)
-        self._enc_u8 = jax.jit(enc16)
+        self._enc_u8_packed = _PerItem(jax.jit(enc8), post=jax.jit(pack))
+        self._enc_u8 = _PerItem(jax.jit(enc16))
         self._dec_u8 = jax.jit(dec)       # int8 and int16 callers share it
 
     def _latent_shape(self, B, H, W):
@@ -374,9 +440,11 @@ class HyperpriorCodec(CompressionCodec):
                 module.apply(variables, y_hat, method=cls.g_s), 0.0, 1.0
             )
 
-        self._analyze = jax.jit(_analyze)
+        # analysis is wire-determining: per-image B=1 slices (_PerItem)
+        self._analyze = _PerItem(jax.jit(_analyze))
         # shared by compress AND decompress so entropy parameters — and
-        # therefore scale-bucket indexes — are bit-identical on both sides
+        # therefore scale-bucket indexes — are bit-identical on both
+        # sides; run per image at the call site (_params_for_wire_z)
         self._dec_params = jax.jit(_dec_params)
         self._dec_synth = jax.jit(_dec_synth)
 
@@ -397,7 +465,8 @@ class HyperpriorCodec(CompressionCodec):
             y, z = module.apply(variables, x, method=cls.analyze)
             z_sym = jnp.round(z - z_medians)
             ovf = jnp.sum((z_sym < -128) | (z_sym > 127)).astype(jnp.int32)
-            return y, jnp.moveaxis(z_sym, -1, 1).astype(jnp.int8), ovf
+            return y, jnp.moveaxis(z_sym, -1, 1).astype(jnp.int8), \
+                ovf.reshape(1)
 
         def params_from_zsym(z_sym_cmaj):
             z_hat = jnp.moveaxis(
@@ -433,9 +502,12 @@ class HyperpriorCodec(CompressionCodec):
             # tunnel TPU pays ~25 ms fixed per device->host transfer; the
             # whole encode result must come back in ONE buffer. Bytes are
             # bit-identical to the separate arrays, so the coded stream is
-            # unchanged.
+            # unchanged. Layout-only: safe at batch shape. zovf is the
+            # per-image (B,) counter from _PerItem-run analyze; yovf is
+            # the batch-summed scalar from the (elementwise, batch-safe)
+            # ysym pass.
             flags = jnp.stack(
-                [(zovf > 0), (yovf > 0)]
+                [jnp.sum(zovf) > 0, jnp.sum(yovf) > 0]
             ).astype(jnp.uint8)
             return jnp.concatenate([
                 flags,
@@ -444,8 +516,12 @@ class HyperpriorCodec(CompressionCodec):
                 _bitcast_u8(y8),
             ])
 
-        self._analyze_u8 = jax.jit(analyze_u8)
-        self._params_from_zsym = jax.jit(params_from_zsym)
+        # analyze (g_a+h_a) and the params graph (h_s -> scale buckets)
+        # are wire-determining: per-image B=1 slices through one shared
+        # compile (_PerItem). ysym/synth/pack are elementwise/layout-only
+        # and stay batched.
+        self._analyze_u8 = _PerItem(jax.jit(analyze_u8))
+        self._params_from_zsym = _PerItem(jax.jit(params_from_zsym))
         self._ysym = jax.jit(ysym)
         self._synth_u8 = jax.jit(synth_u8)
         self._pack_enc = jax.jit(pack_enc)
@@ -497,11 +573,17 @@ class HyperpriorCodec(CompressionCodec):
         z_hat = (z_sym_cm.astype(np.float32)
                  + self.eb_state.medians.reshape(1, C, 1, 1))
         table = jnp.asarray(self.gc_state.scale_table)
-        indexes, means = jax.device_get(
-            self._dec_params(jnp.asarray(np.moveaxis(z_hat, 1, -1)), table)
-        )
-        return (np.moveaxis(np.asarray(indexes).astype(np.int32), -1, 1),
-                None if means is None else np.asarray(means))
+        z_dev = jnp.asarray(np.moveaxis(z_hat, 1, -1))
+        # per image (B=1 slices, one shared compile): indexes must not
+        # depend on batch grouping — see _PerItem
+        outs = [
+            jax.device_get(self._dec_params(z_dev[i:i + 1], table))
+            for i in range(z_dev.shape[0])
+        ]
+        indexes = np.concatenate([np.asarray(o[0]) for o in outs], axis=0)
+        means = (None if outs[0][1] is None else
+                 np.concatenate([np.asarray(o[1]) for o in outs], axis=0))
+        return (np.moveaxis(indexes.astype(np.int32), -1, 1), means)
 
     def compress(self, x):
         self._check_updated()

@@ -195,6 +195,37 @@ def make_wavefront_step(module, variables, H: int, W: int, scale_table):
         pre-activations; one large GEMM outside the scan."""
         return jnp.einsum("hwm,mc->hwc", params, w1_hyper) + pre_bias
 
+    def pixel_params(h_vec, w_safe, y_hat_pad, pre1):
+        """Context + entropy params for the pixel window (h_vec, w_safe)
+        (any window length: R rows for the wavefront scans, 1 for the
+        raster compat scans). Returns (scales, means, indexes), each
+        (len(h_vec), M)."""
+        n = h_vec.shape[0]
+
+        def crop(h, w):
+            # padded rows h..h+2 = latent rows h-2..h (kernel rows 0..2);
+            # rows at/below center are masked out, so they are not read
+            return jax.lax.dynamic_slice(
+                y_hat_pad, (h, w, 0), (PAD + 1, KERNEL, M)
+            )
+
+        crops = jax.vmap(crop)(h_vec, w_safe)  # (n, 3, 5, M)
+        taps = jnp.concatenate(
+            [crops[:, :PAD].reshape(n, PAD * KERNEL, M), crops[:, PAD, :PAD]],
+            axis=1,
+        )  # (n, 12, M)
+        ctx = jnp.einsum(
+            "htm,tmn->hn", taps, tap_kernel,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (n, 2M), bias folded into pre_bias
+        h1 = pre1[h_vec, w_safe] + ctx @ w1_ctx  # (n, 10M/3)
+        a1 = nn.leaky_relu(h1, 0.01)
+        a2 = nn.leaky_relu(a1 @ w2 + b2, 0.01)
+        fused = a2 @ w3 + b3  # (n, 2M)
+        scales, means = jnp.split(fused, 2, axis=-1)  # (n, M) each
+        indexes = gc.build_indexes(table, scales)  # (n, M) int32
+        return scales, means, indexes
+
     def step(t, y_hat_pad, pre1):
         """y_hat_pad: (H+4, W+4, M); pre1: prepare(params), (H, W, 10M/3).
         Returns (h, w, valid, scales, means, indexes) with leading dim R
@@ -205,31 +236,10 @@ def make_wavefront_step(module, variables, H: int, W: int, scale_table):
         w_vec = t - 3 * h_vec
         valid = (w_vec >= 0) & (w_vec < W)
         w_safe = jnp.clip(w_vec, 0, W - 1)
-
-        def crop(h, w):
-            # padded rows h..h+2 = latent rows h-2..h (kernel rows 0..2);
-            # rows at/below center are masked out, so they are not read
-            return jax.lax.dynamic_slice(
-                y_hat_pad, (h, w, 0), (PAD + 1, KERNEL, M)
-            )
-
-        crops = jax.vmap(crop)(h_vec, w_safe)  # (R, 3, 5, M)
-        taps = jnp.concatenate(
-            [crops[:, :PAD].reshape(R, PAD * KERNEL, M), crops[:, PAD, :PAD]],
-            axis=1,
-        )  # (R, 12, M)
-        ctx = jnp.einsum(
-            "htm,tmn->hn", taps, tap_kernel,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (R, 2M), bias folded into pre_bias
-        h1 = pre1[h_vec, w_safe] + ctx @ w1_ctx  # (R, 10M/3)
-        a1 = nn.leaky_relu(h1, 0.01)
-        a2 = nn.leaky_relu(a1 @ w2 + b2, 0.01)
-        fused = a2 @ w3 + b3  # (R, 2M)
-        scales, means = jnp.split(fused, 2, axis=-1)  # (R, M) each
-        indexes = gc.build_indexes(table, scales)  # (R, M) int32
+        scales, means, indexes = pixel_params(h_vec, w_safe, y_hat_pad, pre1)
         return h_vec, w_safe, valid, scales, means, indexes
 
+    step.pixel_params = pixel_params
     return prepare, step
 
 
@@ -306,9 +316,13 @@ class JointARCodec(CompressionCodec):
     def __init__(self, module, variables):
         super().__init__(module, variables)
         cls = type(module)
-        self._analyze = jax.jit(
+        from lmic_tpu.models.codec import _PerItem
+
+        # analysis is wire-determining: per-image B=1 slices through one
+        # shared compile (batch grouping must not leak into the wire)
+        self._analyze = _PerItem(jax.jit(
             lambda x: module.apply(variables, x, method=cls.analyze)
-        )
+        ))
         self._g_s = jax.jit(
             lambda y_hat: jnp.clip(
                 module.apply(variables, y_hat, method=cls.g_s), 0.0, 1.0
@@ -423,7 +437,12 @@ class JointARCodec(CompressionCodec):
             )
             return jnp.round(x * 255.0).astype(jnp.uint8)
 
-        self._analyze_u8_ar = jax.jit(analyze_u8)
+        from lmic_tpu.models.codec import _PerItem
+
+        # analyze is wire-determining (y feeds the per-image encode scan,
+        # z becomes hyper symbols): per-image B=1 slices, like the non-AR
+        # family and the per-image h_s above
+        self._analyze_u8_ar = _PerItem(jax.jit(analyze_u8))
         self._g_s_u8 = jax.jit(g_s_u8)
 
     # -- state -----------------------------------------------------------------
@@ -519,14 +538,17 @@ class JointARCodec(CompressionCodec):
         return fn
 
     def _code_y_z(self, y: np.ndarray, z: np.ndarray,
-                  keep_y_hat: bool = False):
+                  keep_y_hat: bool = False, order: str = "wavefront"):
         """Entropy-code (y, z) arrays: z via the bottleneck, y via the
         wavefront AR scan. Shared by mbt2018/cheng2020/RGBT codecs.
 
         keep_y_hat=True additionally returns the encode scan's quantized
         latent under "y_hat_latent" — bit-equal to what the decode scan
         reconstructs from the streams (the roundtrip invariant), so an
-        encode-side consumer can skip a full decode pass."""
+        encode-side consumer can skip a full decode pass.
+
+        order="raster" emits the reference app's per-pixel raster symbol
+        order instead (slow compat path — _get_raster_scans)."""
         z_strings = self.eb_state.compress(z)
         C = z.shape[-1]
         medians = self.eb_state.medians.reshape((1, 1, 1, C))
@@ -534,29 +556,48 @@ class JointARCodec(CompressionCodec):
         params = self._params_on_scan_device(z_hat)  # stays on device
 
         B, H, W, M = y.shape
-        scan = self._get_encode_scan(H, W)
         y_hats = [None] * B if keep_y_hat else None
 
-        def encode_one(i, dev=None):
-            # y[i] stays a host array: the scan wrapper (or fanout's
-            # device_put below) places it directly on the scan device —
-            # jnp.asarray here would bounce it through the default device,
-            # paying two link crossings in the tunnel/CPU-scan mode
-            yi, pi = y[i], params[i]
-            if dev is not None:
-                yi = jax.device_put(yi, dev)
-                pi = jax.device_put(pi, dev)
-            symbols, indexes, valid, y_hat_pad = jax.device_get(
-                scan(yi, pi)
-            )
-            if keep_y_hat:
-                y_hats[i] = y_hat_pad[PAD : PAD + H, PAD : PAD + W]
-            sel = valid.reshape(-1)  # (T*R,)
-            sym_flat = symbols.reshape(-1, M)[sel].reshape(-1)
-            idx_flat = indexes.reshape(-1, M)[sel].reshape(-1)
-            return rans.encode_with_indexes(
-                sym_flat, idx_flat, self.gc_state.table
-            )
+        if order == "raster":
+            enc, _, _ = self._get_raster_scans(H, W)
+
+            def encode_one(i, dev=None):
+                yi, pi = y[i], params[i]
+                if dev is not None:  # pragma: no cover - compat path
+                    yi = jax.device_put(yi, dev)
+                    pi = jax.device_put(pi, dev)
+                symbols, indexes, y_hat_pad = jax.device_get(enc(yi, pi))
+                if keep_y_hat:
+                    y_hats[i] = y_hat_pad[PAD: PAD + H, PAD: PAD + W]
+                return rans.encode_with_indexes(
+                    np.asarray(symbols).reshape(-1),
+                    np.asarray(indexes).reshape(-1),
+                    self.gc_state.table,
+                )
+        else:
+            scan = self._get_encode_scan(H, W)
+
+            def encode_one(i, dev=None):
+                # y[i] stays a host array: the scan wrapper (or fanout's
+                # device_put below) places it directly on the scan device —
+                # jnp.asarray here would bounce it through the default
+                # device, paying two link crossings in the tunnel/CPU-scan
+                # mode
+                yi, pi = y[i], params[i]
+                if dev is not None:
+                    yi = jax.device_put(yi, dev)
+                    pi = jax.device_put(pi, dev)
+                symbols, indexes, valid, y_hat_pad = jax.device_get(
+                    scan(yi, pi)
+                )
+                if keep_y_hat:
+                    y_hats[i] = y_hat_pad[PAD : PAD + H, PAD : PAD + W]
+                sel = valid.reshape(-1)  # (T*R,)
+                sym_flat = symbols.reshape(-1, M)[sel].reshape(-1)
+                idx_flat = indexes.reshape(-1, M)[sel].reshape(-1)
+                return rans.encode_with_indexes(
+                    sym_flat, idx_flat, self.gc_state.table
+                )
 
         import time
 
@@ -789,13 +830,177 @@ class JointARCodec(CompressionCodec):
         self._encode_scan_cache[key] = wrapped
         return wrapped
 
-    def _decode_y_hat(self, strings, shape) -> np.ndarray:
+    # -- reference raster-order compat codec -------------------------------
+    def _get_raster_scans(self, H: int, W: int):
+        """Reference-container compat scans: symbols in the reference's
+        per-pixel RASTER order (h outer, w inner, channels minor —
+        google.py:565-692) instead of the wavefront order. One lax.scan
+        step per pixel (H*W steps vs 3H+W wavefronts), so this path is
+        ~R-fold slower than the wavefront scans — it exists for file
+        interop, not throughput. Encode and decode share the same
+        compiled per-pixel graph, so a raster file round-trips bit-
+        exactly within this framework; byte-identity with the actual
+        reference app is pinned empirically on imported weights by
+        tests/test_container_interop.py (the same standard the non-AR
+        family's byte interop rests on)."""
+        key = ("raster", H, W)
+        if key in self._encode_scan_cache:
+            return self._encode_scan_cache[key]
+
+        module = self.module
+        ar_dev, variables = self._ar_variables()
+        M = module.M
+        prepare_fn, step_fn = make_wavefront_step(
+            module, variables, H, W, self.gc_state.scale_table
+        )
+        pixel_fn = step_fn.pixel_params
+        decoder_box = {"lanes": []}
+        one_valid = jnp.ones((1,), bool)
+
+        def host_decode(lane, indexes):
+            vals = decoder_box["lanes"][int(lane)].decode_stream(
+                np.asarray(indexes).reshape(-1), self.gc_state.table
+            )
+            return vals.reshape(1, M).astype(np.int32)
+
+        def pos(p):
+            h = p // W
+            w = p - h * W
+            return h.reshape(1), w.reshape(1)
+
+        def enc_body(carry, p):
+            h_vec, w_vec = pos(p)
+            scales, means, indexes = pixel_fn(
+                h_vec, w_vec, carry["y_hat"], carry["params"]
+            )
+            y_row = carry["y"][h_vec, w_vec]  # (1, M)
+            symbols = jnp.round(y_row - means).astype(jnp.int32)
+            y_vals = symbols.astype(jnp.float32) + means
+            carry["y_hat"] = _scatter_wavefront(
+                carry["y_hat"], h_vec, w_vec, one_valid, y_vals
+            )
+            return carry, (symbols[0], indexes[0])
+
+        def enc_run(y, params):
+            carry = {
+                "y_hat": jnp.zeros(
+                    (H + 2 * PAD, W + 2 * PAD, M), jnp.float32
+                ),
+                "y": y,
+                "params": prepare_fn(params),
+            }
+            carry, outs = jax.lax.scan(enc_body, carry, jnp.arange(H * W))
+            symbols, indexes = outs  # (H*W, M) raster-ordered
+            return symbols, indexes, carry["y_hat"]
+
+        def dec_body(carry, p):
+            h_vec, w_vec = pos(p)
+            scales, means, indexes = pixel_fn(
+                h_vec, w_vec, carry["y_hat"], carry["params"]
+            )
+            symbols = io_callback(
+                host_decode,
+                jax.ShapeDtypeStruct((1, M), jnp.int32),
+                carry["lane"],
+                indexes,
+                ordered=True,
+            )
+            y_vals = symbols.astype(jnp.float32) + means
+            carry["y_hat"] = _scatter_wavefront(
+                carry["y_hat"], h_vec, w_vec, one_valid, y_vals
+            )
+            return carry, None
+
+        def dec_run(params, lane):
+            carry = {
+                "y_hat": jnp.zeros(
+                    (H + 2 * PAD, W + 2 * PAD, M), jnp.float32
+                ),
+                "params": prepare_fn(params),
+                "lane": lane,
+            }
+            carry, _ = jax.lax.scan(dec_body, carry, jnp.arange(H * W))
+            return carry["y_hat"][PAD: PAD + H, PAD: PAD + W]
+
+        enc = jax.jit(enc_run)
+        dec = jax.jit(dec_run)
+        if ar_dev is not None:
+            enc_inner, dec_inner = enc, dec
+
+            def enc(y, params, _inner=enc_inner, _dev=ar_dev):
+                with jax.default_device(_dev):
+                    return _inner(
+                        jax.device_put(y, _dev), jax.device_put(params, _dev)
+                    )
+
+            def dec(params, lane, _inner=dec_inner, _dev=ar_dev):
+                with jax.default_device(_dev):
+                    return _inner(
+                        jax.device_put(params, _dev),
+                        jax.device_put(lane, _dev),
+                    )
+
+        wrapped = (enc, dec, decoder_box)
+        self._encode_scan_cache[key] = wrapped
+        return wrapped
+
+    def compress_raster(self, x):
+        """Reference-order compat encode: same container structure as
+        `compress()` but the y streams carry raster-order symbols, byte-
+        compatible with the reference app's per-pixel coder
+        (google.py:565-608; used by `lmic-codec --container reference`
+        for the AR family). Slow path — see _get_raster_scans."""
+        self._check_updated()
+        x = np.asarray(x)
+        self._check_dims(x)
+        if x.dtype == np.uint8:  # thin-transfer pixel ingest
+            if not hasattr(self, "_analyze_u8_ar"):
+                self._build_u8_io()
+            y, z = jax.device_get(self._analyze_u8_ar(jnp.asarray(x)))
+        else:
+            y, z = jax.device_get(self._analyze(jnp.asarray(x)))
+        return self._code_y_z(
+            np.asarray(y), np.asarray(z), order="raster"
+        )
+
+    def decompress_raster(self, strings, shape, u8: bool = False):
+        """Decode reference raster-order y streams (the reference app's
+        format). Mirrors `compress_raster`'s per-pixel graph exactly, so
+        entropy parameters agree bit-for-bit with the encode side."""
+        self._check_updated()
+        y_hat = self._decode_y_hat(strings, shape, order="raster")
+        if u8:
+            if not hasattr(self, "_g_s_u8"):
+                self._build_u8_io()
+            return {"x_hat": np.asarray(self._g_s_u8(jnp.asarray(y_hat)))}
+        return {"x_hat": np.asarray(self._g_s(jnp.asarray(y_hat)))}
+
+    def _decode_y_hat(self, strings, shape,
+                      order: str = "wavefront") -> np.ndarray:
         """Decode the AR latent y_hat (B, H, W, M) from the bitstreams.
 
         With `fanout(devices)` active, each image's decode scan runs on its
-        own device concurrently, streaming from its own lane's decoder."""
+        own device concurrently, streaming from its own lane's decoder.
+        order="raster" decodes the reference app's per-pixel symbol order
+        (slow compat path, per-image, no fan-out)."""
         assert isinstance(strings, list) and len(strings) == 2
         y_strings, z_strings = strings[0], strings[1]
+        if order == "raster":
+            with self._decode_lock:
+                z_hat = self.eb_state.decompress(z_strings, tuple(shape))
+                params = self._params_on_scan_device(z_hat)
+                H, W = shape[0] * 4, shape[1] * 4
+                _, dec, decoder_box = self._get_raster_scans(H, W)
+                lanes = []
+                for s in y_strings:
+                    d = rans.RansDecoder()
+                    d.set_stream(s)
+                    lanes.append(d)
+                decoder_box["lanes"] = lanes
+                return np.stack([
+                    np.asarray(dec(params[i], jnp.int32(i)))
+                    for i in range(len(y_strings))
+                ])
         # critical section: the compiled scan streams from decoder_box's
         # lanes, so a second decompress on this codec must wait until this
         # call's scans have fully drained their lanes (np.asarray blocks)

@@ -564,29 +564,39 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         )
 
     def fanout(self, devices):
-        """Serve multi-sequence batches across `devices`: the batch axis is
-        split into contiguous per-device chunks, each chunk's whole GOP
-        chain (inter-frame dependencies included) running on its own chip.
-        Sequences are independent, so the result is bit-equal to the
-        single-device path on a homogeneous device set."""
+        """Serve multi-sequence batches across `devices`: every sequence's
+        whole GOP chain (inter-frame dependencies included) runs at B=1 on
+        its own chip, round-robin. Sequences are independent and every
+        device runs the SAME B=1 programs, so the result is bit-equal to
+        the single-device path on a homogeneous device set — and because
+        single-device multi-sequence batches also run per-sequence B=1
+        chains (see compress), batch grouping never leaks into the wire."""
         from lmic_tpu.parallel import check_homogeneous
 
         self._fanout_devices = check_homogeneous(devices)
         return self
 
     def _chunk_map(self, B, fn):
-        """fn(lo, hi, device) per contiguous batch chunk, on a thread pool
-        (jit dispatch + host rANS coding release the GIL)."""
-        devs = self._fanout_devices
+        """fn(i, i+1, device) once PER SEQUENCE (B=1 slices — the GOP
+        transforms are wire-determining convolutions, and batched conv
+        executables are not guaranteed to match their B=1 counterparts
+        ulp-for-ulp; see models.codec._PerItem), strided across the
+        fan-out devices (or serially on the default device when no
+        fan-out is set) on a thread pool (jit dispatch + host rANS
+        coding release the GIL)."""
+        devs = self._fanout_devices or [None]
         n = min(len(devs), B)
-        bounds = [(B * i // n, B * (i + 1) // n) for i in range(n)]
+        out = [None] * B
+
+        def slot(s):
+            for i in range(s, B, n):
+                out[i] = fn(i, i + 1, devs[s])
 
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=n) as pool:
-            return list(pool.map(
-                lambda i: fn(*bounds[i], devs[i]), range(n)
-            ))
+            list(pool.map(slot, range(n)))
+        return out
 
     def __call__(self, frames, training: bool = False, key=None):
         rngs = {"noise": key} if training else None
@@ -668,12 +678,20 @@ class ScaleSpaceFlowCodec(CompressionCodec):
 
     def compress(self, frames):
         """frames: (B, T, H, W, 3) -> (frame_strings, shape_infos).
-        uint8 frames take the thin-transfer path (converted on device)."""
+        uint8 frames take the thin-transfer path (converted on device).
+        Multi-sequence batches run per-sequence B=1 GOP chains through
+        the same compiled graphs, so the wire is independent of how
+        sequences were grouped (and of fan-out device placement)."""
         self._check_updated()
         frames = np.asarray(frames)
         self._check_frame_dims(frames)
-        if self._fanout_devices and frames.shape[0] > 1:
+        if frames.shape[0] > 1 and not hasattr(self, "bundle_meta"):
             def one(lo, hi, dev):
+                if dev is None:
+                    chunk = jnp.asarray(frames[lo:hi])
+                    if chunk.dtype == jnp.uint8:
+                        chunk = self._ingest_u8(chunk)
+                    return self._compress_chunk(chunk)
                 with jax.default_device(dev):
                     chunk = jax.device_put(jnp.asarray(frames[lo:hi]), dev)
                     if chunk.dtype == jnp.uint8:
@@ -698,8 +716,8 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         self._check_updated()
         frames = np.asarray(frames)
         self._check_frame_dims(frames)
-        if self._fanout_devices and frames.shape[0] > 1:
-            out = self.compress(frames)  # multi-sequence: chunked fan-out
+        if frames.shape[0] > 1 and not hasattr(self, "bundle_meta"):
+            out = self.compress(frames)  # multi-sequence: per-seq chains
             return lambda: out
         frames = jnp.asarray(frames)
         if frames.dtype == jnp.uint8:
@@ -806,13 +824,13 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         self._check_updated()
         assert len(strings) == len(shapes)
         B = len(strings[0][0])
-        if self._fanout_devices and B > 1:
+        if B > 1 and not hasattr(self, "bundle_meta"):
             def one(lo, hi, dev):
+                sl = [_slice_strings(s, lo, hi) for s in strings]
+                if dev is None:
+                    return self._decompress_chunk(sl, shapes, u8=u8)
                 with jax.default_device(dev):
-                    return self._decompress_chunk(
-                        [_slice_strings(s, lo, hi) for s in strings],
-                        shapes, u8=u8,
-                    )
+                    return self._decompress_chunk(sl, shapes, u8=u8)
 
             return np.concatenate(self._chunk_map(B, one), axis=0)
         return self._decompress_chunk(strings, shapes, u8=u8)
@@ -917,8 +935,8 @@ class ScaleSpaceFlowCodec(CompressionCodec):
         pipelining caller overlaps this GOP's pixel download with the
         next GOP's legs."""
         self._check_updated()
-        if self._fanout_devices and len(strings[0][0]) > 1:
-            out = self.decompress(strings, shapes, u8=u8)  # chunked fan-out
+        if len(strings[0][0]) > 1 and not hasattr(self, "bundle_meta"):
+            out = self.decompress(strings, shapes, u8=u8)  # per-seq chains
             return lambda: out
         out = self._decompress_chunk(strings, shapes, u8=u8, _async=True)
         return out if callable(out) else (lambda: out)

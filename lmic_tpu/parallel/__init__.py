@@ -59,10 +59,19 @@ def replicate(mesh: Mesh, tree):
 
 
 def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
-    """Re-jit a codec's u8 fast-path device passes over a mesh, sharding the
-    batch axis: compress/decompress then scale across chips (each image is
-    independent; XLA partitions the transforms batch-wise with no
-    cross-chip collectives). Host entropy coding is already per-image.
+    """Scale a codec's u8 fast paths across a mesh. Two mechanisms,
+    matched to the bitstream invariants:
+
+    - wire-determining graphs (analysis transforms, hyper params) run
+      per image (B=1 through one shared compile — batch grouping must
+      not leak into the wire; models.codec._PerItem) and are fanned out
+      round-robin across the mesh, every chip running the same program;
+    - the batch-safe graphs (elementwise symbol extraction, packing,
+      pixel synthesis) are re-jitted SPMD over the batch axis (XLA
+      partitions them batch-wise with no cross-chip collectives).
+
+    Host entropy coding is already per-image. AR and video codecs route
+    to their own per-image/per-sequence fan-outs instead.
 
     Serving pattern: `shard_codec(codec, make_mesh())` once, then feed
     batches whose leading dim divides the mesh size.
@@ -103,10 +112,13 @@ def shard_codec(codec, mesh: Mesh, axis: str = DATA_AXIS):
 
 
 def _apply_codec_sharding(codec, mesh: Mesh, axis: str) -> None:
+    from lmic_tpu.models.codec import _PerItem
+
     data = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
+    devices = list(mesh.devices.flat)
     # per-jit input shardings: batch-dim arrays shard over `axis`, scalars
-    # (overflow counters) replicate
+    # and per-image flag vectors (overflow counters) replicate
     specs = {
         "_enc_u8": (data,),
         "_enc_u8_packed": (data,),
@@ -121,7 +133,29 @@ def _apply_codec_sharding(codec, mesh: Mesh, axis: str) -> None:
         fn = getattr(codec, name, None)
         if fn is None:
             continue
-        # re-jit the original python callable with sharded batch inputs;
-        # remaining args (means etc.) keep their natural shardings
-        inner = fn.__wrapped__
-        setattr(codec, name, jax.jit(inner, in_shardings=shardings))
+        if isinstance(fn, _PerItem):
+            # wire-determining graphs run per image (B=1 through one
+            # shared compile — batch grouping must not leak into the
+            # wire); multi-device serving places the B=1 calls
+            # round-robin across the mesh, every device running the
+            # same program (homogeneous numerics)
+            fn.devices = devices
+            continue
+        # re-jit the original python callable with sharded batch inputs.
+        # Args are device_put onto their shardings first: upstream
+        # per-item (_PerItem) stages leave results committed to one
+        # device, and jit rejects committed args that mismatch
+        # in_shardings instead of resharding them.
+        inner = getattr(fn, "__wrapped__", fn)
+        jitted = jax.jit(inner, in_shardings=shardings)
+
+        def call(*args, _jit=jitted, _sh=shardings):
+            args = [
+                a if a is None else jax.device_put(a, s)
+                for a, s in zip(args, _sh)
+            ]
+            return _jit(*args)
+
+        call.__wrapped__ = inner  # keep re-shardable on a new mesh
+        call._jitted = jitted     # jax.export needs the jit (utils/aot.py)
+        setattr(codec, name, call)

@@ -13,8 +13,10 @@ fleet can ship one directory per (arch, quality, shape) and never import
 the model zoo.
 
 Supported: the factorized + hyperprior family (the non-AR image codecs)
-and ssf2020 (a 5-dim `input_shape` (B, T, H, W, C) exports the whole-GOP
-chain of all three hyperprior sub-codecs, fixed to that GOP length).
+and ssf2020 (a 5-dim `input_shape` (1, T, H, W, C) exports the whole-GOP
+chain of all three hyperprior sub-codecs, fixed to that GOP length;
+per-sequence B=1 only — the live codec runs multi-sequence batches as
+per-sequence chains so batch grouping cannot leak into the wire).
 The AR wavefront decode streams symbols through `io_callback`, which
 `jax.export` cannot serialize (tests/test_export.py pins this boundary).
 
@@ -44,7 +46,11 @@ import numpy as np
 # Per-family format version: video bundles (format 2) carry prefixed
 # state keys / fn names that format-1 loaders cannot read, so they get
 # their own version and old loaders reject them at the format gate.
-FAMILY_FORMAT = {"factorized": 1, "hyperprior": 1, "video": 2}
+# Image-family format 2: the wire-determining graphs (analysis, hyper
+# params) are exported as B=1 `__one` graphs and re-wrapped in _PerItem
+# on load, mirroring the live codec's per-image execution (batch
+# grouping must not leak into the wire).
+FAMILY_FORMAT = {"factorized": 2, "hyperprior": 2, "video": 2}
 
 __all__ = ["export_serving_bundle", "load_serving_bundle"]
 
@@ -67,28 +73,55 @@ def _family(codec) -> str:
     )
 
 
+def _exportable(fn):
+    """Resolve a codec device-pass attribute to its jit: sharded codecs
+    wrap the batched jits in a device_put shim (parallel._apply_codec_
+    sharding) that jax.export cannot serialize directly."""
+    return getattr(fn, "_jitted", fn)
+
+
 def _plan(codec, family, x_spec):
     """(fn, arg_specs) per export, chained through jax.eval_shape so every
-    intermediate spec matches the live pipeline exactly."""
+    intermediate spec matches the live pipeline exactly. Wire-determining
+    graphs are `_PerItem`s in the live codec: their shared B=1 inner jits
+    export as `__one` graphs (the loader re-wraps them), while the
+    batched layout/elementwise graphs export at the bundle's full B."""
+    B = x_spec.shape[0]
+    x1 = jax.ShapeDtypeStruct((1,) + tuple(x_spec.shape[1:]), x_spec.dtype)
+
+    def at_B(t):
+        return jax.tree.map(
+            lambda s: jax.ShapeDtypeStruct((B,) + tuple(s.shape[1:]),
+                                           s.dtype), t
+        )
+
     if family == "factorized":
-        sym16 = jax.eval_shape(codec._enc_u8, x_spec)
-        sym8 = jax.ShapeDtypeStruct(sym16.shape, jnp.int8)
+        sym8_1, ovf_1 = jax.eval_shape(codec._enc_u8_packed.inner, x1)
+        sym8, ovf = at_B(sym8_1), at_B(ovf_1)
+        sym16 = jax.ShapeDtypeStruct(sym8.shape, jnp.int16)
         return {
-            "_enc_u8_packed": (codec._enc_u8_packed, (x_spec,)),
-            "_enc_u8": (codec._enc_u8, (x_spec,)),
-            "_dec_u8__i8": (codec._dec_u8, (sym8,)),
-            "_dec_u8__i16": (codec._dec_u8, (sym16,)),
+            "_enc_u8_packed__one": (codec._enc_u8_packed.inner, (x1,)),
+            "_enc_u8_packed__post": (
+                codec._enc_u8_packed.post, (sym8, ovf)
+            ),
+            "_enc_u8__one": (codec._enc_u8.inner, (x1,)),
+            "_dec_u8__i8": (_exportable(codec._dec_u8), (sym8,)),
+            "_dec_u8__i16": (_exportable(codec._dec_u8), (sym16,)),
         }
-    y, z8, zovf = jax.eval_shape(codec._analyze_u8, x_spec)
-    idx, means = jax.eval_shape(codec._params_from_zsym, z8)
-    y8, y16, yovf = jax.eval_shape(codec._ysym, y, means)
+    y1, z8_1, zovf_1 = jax.eval_shape(codec._analyze_u8.inner, x1)
+    idx1, means1 = jax.eval_shape(codec._params_from_zsym.inner, z8_1)
+    y, z8, zovf = at_B(y1), at_B(z8_1), at_B(zovf_1)
+    idx, means = at_B(idx1), at_B(means1)
+    y8, y16, yovf = jax.eval_shape(_exportable(codec._ysym), y, means)
     return {
-        "_analyze_u8": (codec._analyze_u8, (x_spec,)),
-        "_params_from_zsym": (codec._params_from_zsym, (z8,)),
-        "_ysym": (codec._ysym, (y, means)),
-        "_pack_enc": (codec._pack_enc, (z8, idx, y8, zovf, yovf)),
-        "_synth_u8__i8": (codec._synth_u8, (y8, means)),
-        "_synth_u8__i16": (codec._synth_u8, (y16, means)),
+        "_analyze_u8__one": (codec._analyze_u8.inner, (x1,)),
+        "_params_from_zsym__one": (
+            codec._params_from_zsym.inner, (z8_1,)
+        ),
+        "_ysym": (_exportable(codec._ysym), (y, means)),
+        "_pack_enc": (_exportable(codec._pack_enc), (z8, idx, y8, zovf, yovf)),
+        "_synth_u8__i8": (_exportable(codec._synth_u8), (y8, means)),
+        "_synth_u8__i16": (_exportable(codec._synth_u8), (y16, means)),
     }
 
 
@@ -160,6 +193,13 @@ def export_serving_bundle(codec, out_dir, input_shape) -> str:
         B, T, H, W, C = map(int, input_shape)
         if T < 2:
             raise ValueError("ssf2020 bundles need a GOP of >= 2 frames")
+        if B != 1:
+            raise ValueError(
+                "ssf2020 bundles are per-sequence (B=1): the live codec "
+                "runs multi-sequence batches as per-sequence GOP chains "
+                "(batch grouping must not leak into the wire) — export "
+                "B=1 and fan out at the caller"
+            )
     else:
         B, H, W, C = map(int, input_shape)
         T = None
@@ -470,7 +510,11 @@ def load_serving_bundle(path, mesh=None):
     for name in meta["fns"]:
         with open(os.path.join(path, "fns", name + ".bin"), "rb") as f:
             exp = jexport.deserialize(f.read())
-        fns[name] = exp.call if nr_devices == 1 else _mesh_call(exp, mesh)
+        # per-exp: `__one` (B=1 per-item) graphs export single-device even
+        # from a sharded codec; only the batched graphs carry the mesh
+        fns[name] = exp.call if exp.nr_devices == 1 else _mesh_call(
+            exp, mesh
+        )
     state = np.load(os.path.join(path, "state.npz"))
 
     family = meta["family"]
@@ -499,16 +543,20 @@ def load_serving_bundle(path, mesh=None):
             gc=GaussianConditional(),
         )
 
+    from lmic_tpu.models.codec import _PerItem
+
     if family == "factorized":
-        codec._enc_u8_packed = fns["_enc_u8_packed"]
-        codec._enc_u8 = fns["_enc_u8"]
+        codec._enc_u8_packed = _PerItem(
+            fns["_enc_u8_packed__one"], post=fns["_enc_u8_packed__post"]
+        )
+        codec._enc_u8 = _PerItem(fns["_enc_u8__one"])
         dec8, dec16 = fns["_dec_u8__i8"], fns["_dec_u8__i16"]
         codec._dec_u8 = (
             lambda s: dec8(s) if s.dtype == jnp.int8 else dec16(s)
         )
     else:
-        codec._analyze_u8 = fns["_analyze_u8"]
-        codec._params_from_zsym = fns["_params_from_zsym"]
+        codec._analyze_u8 = _PerItem(fns["_analyze_u8__one"])
+        codec._params_from_zsym = _PerItem(fns["_params_from_zsym__one"])
         codec._ysym = fns["_ysym"]
         codec._pack_enc = fns["_pack_enc"]
         syn8, syn16 = fns["_synth_u8__i8"], fns["_synth_u8__i16"]

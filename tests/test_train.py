@@ -196,12 +196,13 @@ class TestShardedCodec:
         codec.update(force=True)
         parallel.shard_codec(codec, parallel.make_mesh(8))
         codec.compress(x)
-        assert len(codec._enc_u8_packed(x).sharding.device_set) == 8
+        # wire-determining graphs fan out per image across the mesh
+        assert len(codec._enc_u8_packed.devices) == 8
 
         codec.update(force=True)  # invalidates the fast-path jits
         out = codec.compress(x)  # lazily rebuilds them
-        assert len(codec._enc_u8_packed(x).sharding.device_set) == 8, \
-            "rebuilt jits lost the mesh sharding"
+        assert len(codec._enc_u8_packed.devices) == 8, \
+            "rebuilt fast paths lost the mesh fan-out"
 
         single = zoo.create_model(
             "bmshj2018-factorized", 1, key=jax.random.key(0),
@@ -230,7 +231,7 @@ class TestShardedCodec:
         mesh4 = parallel.make_mesh(4)
         parallel.shard_codec(codec, mesh4)
         out = codec.compress(x)
-        assert codec._enc_u8_packed(x).sharding.device_set == set(
+        assert codec._enc_u8_packed.devices == list(
             mesh4.devices.flat
         ), "re-shard left the fast paths on the old mesh"
 
