@@ -727,7 +727,11 @@ class MasterCodec(JointARCodec):
             )
         return gH, gW
 
-    def compress(self, x, guided_hat):
+    def compress(self, x, guided_hat, order: str = "wavefront"):
+        """order="raster" emits the reference app's per-pixel symbol
+        order (the reference master container embeds these AR streams —
+        codec_rgbt.py:377-382; used by lmic-codec --container
+        reference)."""
         self._check_updated()
         H, W = int(x.shape[1]), int(x.shape[2])
         self.check_geometry(H, W, tuple(map(int, guided_hat.shape[1:3])))
@@ -741,12 +745,12 @@ class MasterCodec(JointARCodec):
         y, z, beta, gamma = jax.device_get(
             (*self._analyze_features(x_feature, guided_align), beta, gamma)
         )
-        out = self._code_y_z(y, z)
+        out = self._code_y_z(y, z, order=order)
         out["beta"] = np.asarray(beta)
         out["gamma"] = np.asarray(gamma)
         return out
 
-    def decompress(self, out_net, out_net_guided):
+    def decompress(self, out_net, out_net_guided, order: str = "wavefront"):
         self._check_updated()
         strings, shape = out_net["strings"], out_net["shape"]
         beta, gamma = out_net["beta"], out_net["gamma"]
@@ -756,7 +760,7 @@ class MasterCodec(JointARCodec):
             jnp.asarray(beta),
             jnp.asarray(gamma),
         )
-        y_hat = self._decode_y_hat(strings, shape)
+        y_hat = self._decode_y_hat(strings, shape, order=order)
         x_hat = self._synthesize(
             jnp.asarray(y_hat),
             jax.tree.map(jnp.asarray, guided_hidden),

@@ -105,9 +105,12 @@ def read_body(f):
 # fork's `models` dict enumeration order :71-72) + 1B (metric<<4 |
 # quality-1), u32 (h, w), u8 bitdepth, [video: u32 num_frames], then per
 # body u32 (shape_h, shape_w, n_strings) and per stream u32 length + raw
-# bytes. Only the byte-interop family is eligible: the non-AR image codecs
-# and ssf2020 (AR streams use this framework's wavefront symbol order, so
-# a cross-read file would not decode; master/guided embed AR streams).
+# bytes. The byte-interop family: the non-AR image codecs and ssf2020
+# (same symbol order by construction), plus the AR image codecs via the
+# raster-order compat scans (JointARCodec.compress_raster/
+# decompress_raster — the fast wavefront order stays lmic-container
+# only). master/guided remain lmic-only for now (their container embeds
+# the guide-conditioned master AR streams).
 
 REF_MODEL_IDS = {
     "bmshj2018-factorized": 0,
@@ -123,6 +126,7 @@ REF_MODEL_IDS = {
 REF_ID_TO_MODEL = {v: k for k, v in REF_MODEL_IDS.items()}
 REF_INTEROP_ARCHS = {
     "bmshj2018-factorized", "bmshj2018-hyperprior", "mbt2018-mean",
+    "mbt2018", "cheng2020-anchor", "cheng2020-attn",
     "ssf2020",
 }
 
@@ -155,7 +159,10 @@ def encode_image_ref(input_path, output_path, codec, arch, quality,
             "reference container encodes unpadded images; dimensions must "
             f"be multiples of 64 (got {H}x{W})"
         )
-    out = codec.compress(x)
+    # AR codecs emit the reference's per-pixel raster symbol order via
+    # the compat scans; the non-AR family's order already matches
+    out = (codec.compress_raster(x)
+           if hasattr(codec, "compress_raster") else codec.compress(x))
     with open(output_path, "wb") as f:
         write_uchars(f, (REF_MODEL_IDS[arch],
                          (METRIC_IDS[metric] << 4) | (quality - 1)))
@@ -170,7 +177,9 @@ def decode_image_ref(f, output_path, make_codec, arch, quality):
     (bitdepth,) = read_uchars(f, 1)
     shape, strings = read_body_ref(f)
     codec = make_codec(arch, quality)
-    rec = codec.decompress(strings, shape)
+    rec = (codec.decompress_raster(strings, shape)
+           if hasattr(codec, "decompress_raster")
+           else codec.decompress(strings, shape))
     _save(crop_center(rec["x_hat"], H, W), output_path)
 
 
@@ -345,6 +354,69 @@ def decode_rgbt(input_path, guide_path, output_path, build_guided,
     _save(crop_center(rec["x_hat"], H, W), output_path)
 
 
+def encode_rgbt_ref(master_path, guide_path, output_path, guided_codec,
+                    master_codec, quality, metric="mse", channel=1):
+    """Reference master container (codec_rgbt.py:328-386): bare header +
+    (h, w) + bitdepth + 64 beta + 64 gamma floats + body, the master AR
+    streams in the reference's raster symbol order
+    (MasterCodec.compress(order="raster")). The guide is re-coded locally
+    on both sides and never stored, exactly like the reference app."""
+    x = _load(master_path, channel=channel)
+    guided = _load(guide_path, channel=4 - channel)
+    try:
+        master_codec.check_geometry(
+            *x.shape[1:3], tuple(guided.shape[1:3]), guide_what="guide image"
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    g_out = guided_codec.compress(guided, hidden=False, reconstruct=True)
+    m_out = master_codec.compress(x, g_out["x_hat"], order="raster")
+    beta = np.asarray(m_out["beta"], np.float32).reshape(-1)
+    gamma = np.asarray(m_out["gamma"], np.float32).reshape(-1)
+    with open(output_path, "wb") as f:
+        write_uchars(f, (REF_MODEL_IDS["master"],
+                         (METRIC_IDS[metric] << 4) | (quality - 1)))
+        write_uints(f, (x.shape[1], x.shape[2]))
+        write_uchars(f, (8,))
+        write_floats(f, beta.tolist())
+        write_floats(f, gamma.tolist())
+        write_body_ref(f, m_out["shape"], m_out["strings"])
+    return Path(output_path).stat().st_size
+
+
+def decode_rgbt_ref(f, guide_path, output_path, build_guided, build_master,
+                    channel=1):
+    """Mirror of encode_rgbt_ref / the reference's master decode_image
+    (codec_rgbt.py:511-554). The reference header does NOT carry the
+    master channel count (its app takes it from the CLI, deriving the
+    guide path by substitution) — `channel` must match the encode."""
+    H, W = read_uints(f, 2)
+    (bitdepth,) = read_uchars(f, 1)
+    beta = np.asarray(read_floats(f, 64), np.float32).reshape(1, 1, 1, 64)
+    gamma = np.asarray(read_floats(f, 64), np.float32).reshape(1, 1, 1, 64)
+    shape, strings = read_body_ref(f)
+    guided_codec = build_guided(4 - channel)
+    master_codec = build_master(channel)
+    guided = _load(guide_path, channel=4 - channel)
+    try:
+        gH, gW = master_codec.check_geometry(H, W)
+    except ValueError as e:
+        raise SystemExit(f"corrupt or incompatible RGBT bitstream: {e}")
+    if guided.shape[1:3] != (gH, gW):
+        raise SystemExit(
+            f"guide image must be {gH}x{gW} for this {H}x{W} master "
+            f"bitstream at channel={channel}; got "
+            f"{guided.shape[1]}x{guided.shape[2]}"
+        )
+    g_out = guided_codec.compress(guided, hidden=False, reconstruct=True)
+    rec = master_codec.decompress(
+        {"strings": strings, "shape": shape, "beta": beta, "gamma": gamma},
+        {"x_hat": g_out["x_hat"], "hidden": g_out["hidden_dec"]},
+        order="raster",
+    )
+    _save(crop_center(rec["x_hat"], H, W), output_path)
+
+
 def encode_video(input_path, output_path, codec, quality, metric="mse",
                  num_frames: int = -1, container: str = "native"):
     """ssf2020 file coding on a raw YUV420 sequence: one reference chain
@@ -473,8 +545,13 @@ def parse_args(argv):
                    help="RGBT: guide-image path (the master file does not "
                         "embed the guide bitstream; codec_rgbt.py:538-544)")
     d.add_argument("--guided-checkpoint", default=None)
-    # no --channel on decode: the master channel count always comes from
-    # the container header (a flag here would be silently ignored)
+    # --channel matters ONLY for reference-container master files: the
+    # reference header does not record the master channel count (its app
+    # takes it from the CLI — codec_rgbt.py:511-524). Native lmic master
+    # files carry a channel byte and ignore this flag.
+    d.add_argument("--channel", type=int, default=1,
+                   help="reference-container master files: the master "
+                        "channel count used at encode (1=thermal master)")
     return p.parse_args(argv)
 
 
@@ -500,19 +577,14 @@ def main(argv=None):
         if args.guide is not None or args.arch == "master":
             if args.guide is None:
                 raise SystemExit("encode --arch master requires --guide")
-            if reference:
-                raise SystemExit(
-                    "reference container: master embeds AR streams whose "
-                    "symbol order is framework-specific; use the default "
-                    "container"
-                )
             guided = _build("guided", args.quality, args.guided_checkpoint,
                             channel=4 - args.channel)
             master = _build("master", args.quality, args.checkpoint,
                             channel=args.channel)
-            size = encode_rgbt(args.input, args.guide, args.output,
-                               guided, master, args.quality,
-                               channel=args.channel)
+            enc = encode_rgbt_ref if reference else encode_rgbt
+            size = enc(args.input, args.guide, args.output,
+                       guided, master, args.quality,
+                       channel=args.channel)
         elif args.arch == "ssf2020":
             codec = _build("ssf2020", args.quality, args.checkpoint)
             enc = encode_video_ref if reference else encode_video
@@ -581,16 +653,30 @@ def main(argv=None):
                 model_id, mq = read_uchars(f, 2)
                 quality = (mq & 0x0F) + 1
                 arch = REF_ID_TO_MODEL.get(model_id)
-                if arch not in REF_INTEROP_ARCHS:
+                if arch not in REF_INTEROP_ARCHS | {"master"}:
                     raise SystemExit(
                         f"reference-container arch {arch!r} is outside the "
-                        "byte-interop family (AR symbol order is "
-                        "framework-specific)"
+                        "interop family: "
+                        f"{', '.join(sorted(REF_INTEROP_ARCHS))}, master"
                     )
                 if arch == "ssf2020":
                     decode_video_ref(
                         f, args.output,
                         lambda a, q: _build(a, q, args.checkpoint), quality,
+                    )
+                elif arch == "master":
+                    if args.guide is None:
+                        raise SystemExit(
+                            "decoding a master file requires --guide"
+                        )
+                    decode_rgbt_ref(
+                        f, args.guide, args.output,
+                        lambda ch: _build("guided", quality,
+                                          args.guided_checkpoint,
+                                          channel=ch),
+                        lambda ch: _build("master", quality,
+                                          args.checkpoint, channel=ch),
+                        channel=args.channel,
                     )
                 else:
                     decode_image_ref(

@@ -46,14 +46,18 @@ def _load_codec_app():
 def _ref_model(arch):
     from compressai.models.google import (
         FactorizedPrior,
+        JointAutoregressiveHierarchicalPriors,
         MeanScaleHyperprior,
         ScaleHyperprior,
     )
+    from compressai.models.waseda import Cheng2020Anchor
 
     return {
         "bmshj2018-factorized": lambda: FactorizedPrior(64, 96),
         "bmshj2018-hyperprior": lambda: ScaleHyperprior(64, 96),
         "mbt2018-mean": lambda: MeanScaleHyperprior(64, 96),
+        "mbt2018": lambda: JointAutoregressiveHierarchicalPriors(64, 96),
+        "cheng2020-anchor": lambda: Cheng2020Anchor(64),
     }[arch]()
 
 
@@ -64,8 +68,11 @@ def _imported_codec(arch, ref, size=(64, 64)):
         import_reference_state_dict,
     )
 
+    widths = {"N": 64} if arch.startswith("cheng2020") else {
+        "N": 64, "M": 96
+    }
     codec = zoo.create_model(
-        arch, 1, key=jax.random.key(0), input_size=size, N=64, M=96
+        arch, 1, key=jax.random.key(0), input_size=size, **widths
     )
     codec = type(codec)(
         codec.module,
@@ -75,8 +82,18 @@ def _imported_codec(arch, ref, size=(64, 64)):
     return codec
 
 
+# the AR archs exercise the raster-order compat scans
+# (JointARCodec.compress_raster/decompress_raster): the per-pixel torch
+# loops are the slow leg, so one anchor per AR machinery variant
 @pytest.mark.parametrize(
-    "arch", ["bmshj2018-factorized", "bmshj2018-hyperprior", "mbt2018-mean"]
+    "arch",
+    [
+        "bmshj2018-factorized",
+        "bmshj2018-hyperprior",
+        "mbt2018-mean",
+        "mbt2018",
+        "cheng2020-anchor",
+    ],
 )
 def test_image_file_byte_identical_and_cross_decodable(arch, tmp_path):
     import torch
@@ -149,6 +166,146 @@ def test_image_file_byte_identical_and_cross_decodable(arch, tmp_path):
         rt = ref.decompress(strings, list(shape))
     np.testing.assert_allclose(
         rt["x_hat"].numpy(), ref_dec["x_hat"].numpy(), atol=1e-6
+    )
+
+
+@pytest.mark.slow
+def test_master_file_byte_identical_and_cross_decodable(tmp_path):
+    """RGBT master reference container (codec_rgbt.py:328-386,511-554):
+    our `--container reference` file — bare header, (h, w), bitdepth,
+    64+64 beta/gamma floats, raster-order master AR streams — against a
+    file produced by the reference app's own writer around the reference
+    Guided/Master models' flow. The CODED BODY (all rANS streams) is
+    byte-identical; the transmitted beta/gamma floats carry torch-vs-JAX
+    last-ulp differences (~1e-8, pooled conv chains) and are asserted as
+    floats — they are side info each decoder reads from the FILE, so
+    interop never depends on recomputing them. Cross-decodability is
+    asserted both directions."""
+    import torch
+    from PIL import Image
+
+    cr = _load_codec_app()
+    from compressai.models.master import (
+        Guided_compresser,
+        Master_compresser,
+    )
+
+    from lmic_tpu import zoo
+    from lmic_tpu.utils import codec_cli
+    from lmic_tpu.zoo.pretrained import (
+        import_reference_coding_state,
+        import_reference_state_dict,
+    )
+
+    torch.manual_seed(0)
+    g_ref = Guided_compresser(channel=3)
+    g_ref.eval()
+    g_ref.update(force=True)
+    m_ref = Master_compresser(width=128, height=128, channel=1)
+    m_ref.eval()
+    m_ref.update(force=True)
+
+    rng = np.random.default_rng(11)
+    xm_u8 = (rng.random((128, 128)) * 255).astype(np.uint8)
+    xg_u8 = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+    mpath, gpath = tmp_path / "master.png", tmp_path / "guide.png"
+    Image.fromarray(xm_u8, mode="L").save(mpath)
+    Image.fromarray(xg_u8).save(gpath)
+    xm_t = torch.from_numpy(
+        xm_u8.astype(np.float32) / 255.0
+    )[None, None]
+    xg_t = torch.from_numpy(
+        xg_u8.astype(np.float32) / 255.0
+    ).permute(2, 0, 1)[None]
+
+    # reference flow: guide compress+decompress, master compress, file
+    # written with the reference app's own functions
+    with torch.no_grad():
+        g_enc = g_ref.compress(xg_t)
+        g_dec = g_ref.decompress(g_enc["strings"], g_enc["shape"])
+        m_out = m_ref.compress(xm_t, g_dec["x_hat"])
+        ref_rec = m_ref.decompress(
+            {"strings": m_out["strings"], "shape": m_out["shape"],
+             "beta": m_out["beta"], "gamma": m_out["gamma"]},
+            {"x_hat": g_dec["x_hat"], "hidden": g_dec["hidden"]},
+        )
+    ref_file = tmp_path / "ref.bin"
+    with open(ref_file, "wb") as f:
+        cr.write_uchars(
+            f, (codec_cli.REF_MODEL_IDS["master"], 0)
+        )  # metric mse<<4 | quality-1 = 0
+        cr.write_uints(f, (128, 128))
+        cr.write_uchars(f, (8,))
+        cr.write_floats(f, list(torch.squeeze(m_out["beta"])))
+        cr.write_floats(f, list(torch.squeeze(m_out["gamma"])))
+        cr.write_body(f, m_out["shape"], m_out["strings"])
+
+    # our codecs on imported weights + adopted baked tables
+    gc = zoo.create_model(
+        "guided", 1, key=jax.random.key(0), input_size=(256, 256),
+        channel=3,
+    )
+    gc = type(gc)(gc.module, import_reference_state_dict(
+        "guided", g_ref.state_dict(), gc.variables
+    ))
+    assert import_reference_coding_state(g_ref.state_dict(), gc)
+    mc = zoo.create_model(
+        "master", 1, key=jax.random.key(0), input_size=(128, 128),
+        channel=1,
+    )
+    mc = type(mc)(mc.module, import_reference_state_dict(
+        "master", m_ref.state_dict(), mc.variables
+    ))
+    assert import_reference_coding_state(m_ref.state_dict(), mc)
+
+    our_file = tmp_path / "ours.bin"
+    codec_cli.encode_rgbt_ref(
+        mpath, gpath, our_file, gc, mc, 1, channel=1
+    )
+    ours, refs = our_file.read_bytes(), ref_file.read_bytes()
+    assert len(ours) == len(refs) and len(ours) > 11 + 512
+    assert ours[:11] == refs[:11]  # header + geometry + bitdepth
+    # transmitted side info: float agreement (last-ulp framework noise)
+    b_o = np.frombuffer(ours[11:11 + 256], ">f4")  # big-endian wire
+    g_o = np.frombuffer(ours[11 + 256:11 + 512], ">f4")
+    b_r = np.frombuffer(refs[11:11 + 256], ">f4")
+    g_r = np.frombuffer(refs[11 + 256:11 + 512], ">f4")
+    np.testing.assert_allclose(b_o, b_r, atol=1e-6)
+    np.testing.assert_allclose(g_o, g_r, atol=1e-6)
+    # the coded body — every rANS stream — is byte-identical (empirical,
+    # like the non-AR family's byte interop)
+    assert ours[11 + 512:] == refs[11 + 512:]
+
+    # our decoder reads the reference-written file
+    out_png = tmp_path / "rec.png"
+    with open(ref_file, "rb") as f:
+        model_id, mq = codec_cli.read_uchars(f, 2)
+        assert codec_cli.REF_ID_TO_MODEL[model_id] == "master"
+        codec_cli.decode_rgbt_ref(
+            f, gpath, out_png, lambda ch: gc, lambda ch: mc, channel=1
+        )
+    got = np.asarray(Image.open(out_png))
+    want = np.clip(
+        ref_rec["x_hat"][0, 0].numpy() * 255.0 + 0.5, 0, 255
+    ).astype(np.uint8)
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+    # and the reference models decode OUR file's payload
+    with open(our_file, "rb") as f:
+        codec_cli.read_uchars(f, 2)
+        codec_cli.read_uints(f, 2)
+        codec_cli.read_uchars(f, 1)
+        beta = torch.tensor(cr.read_floats(f, 64)).reshape(1, 64, 1, 1)
+        gamma = torch.tensor(cr.read_floats(f, 64)).reshape(1, 64, 1, 1)
+        strings, shape = cr.read_body(f)
+    with torch.no_grad():
+        rt = m_ref.decompress(
+            {"strings": strings, "shape": list(shape), "beta": beta,
+             "gamma": gamma},
+            {"x_hat": g_dec["x_hat"], "hidden": g_dec["hidden"]},
+        )
+    np.testing.assert_allclose(
+        rt["x_hat"].numpy(), ref_rec["x_hat"].numpy(), atol=1e-6
     )
 
 
