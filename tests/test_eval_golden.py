@@ -82,43 +82,72 @@ ALL_ARCHS = [
     "cheng2020-attn",
 ]
 
+# second pinned quality per arch: the FIRST quality where the zoo width
+# table switches (lmic_tpu/zoo/__init__.py, reference zoo/image.py:
+# 189-246), so the (N, M) tables, the int8-iff-fits symbol dtype rule,
+# and the CDF sizing are exercised beyond q1
+SWITCH_Q = {
+    "bmshj2018-factorized": 6,   # (128,192) -> (192,320)
+    "bmshj2018-hyperprior": 6,   # (128,192) -> (192,320)
+    "mbt2018-mean": 5,           # (192,192) -> (192,320)
+    "mbt2018": 5,                # (192,192) -> (192,320)
+    "cheng2020-anchor": 4,       # N 128 -> 192
+    "cheng2020-attn": 4,         # N 128 -> 192
+}
 
-@pytest.mark.parametrize("arch", ALL_ARCHS)
-def test_eval_entropy_estimation_golden(tmp_path, arch):
-    """Forward-only RD numbers pinned for every image arch in the zoo
-    (the reference pins eval_ee_* fixtures per arch the same way)."""
+EE_CASES = [(a, 1) for a in ALL_ARCHS] + [
+    (a, SWITCH_Q[a]) for a in ALL_ARCHS
+]
+
+
+@pytest.mark.parametrize("arch,quality", EE_CASES)
+def test_eval_entropy_estimation_golden(tmp_path, arch, quality):
+    """Forward-only RD numbers pinned for every image arch in the zoo at
+    q=1 AND at the width-switch quality (the reference pins eval_ee_*
+    fixtures per arch/quality the same way)."""
     d = tmp_path / "images"
     _write_images(d, ["a.png", "b.png"])
     results = _run_eval(tmp_path, [
-        "--arch", arch, "-q", "1", "-d", str(d),
+        "--arch", arch, "-q", str(quality), "-d", str(d),
         "--entropy-estimation",
     ])
-    _check_golden(results, f"eval_ee_{arch}_1.json")
+    _check_golden(results, f"eval_ee_{arch}_{quality}.json")
 
 
-@pytest.mark.parametrize("arch", ALL_ARCHS[:4])
-def test_eval_codec_golden(tmp_path, arch):
+@pytest.mark.parametrize(
+    "arch,quality",
+    [(a, 1) for a in ALL_ARCHS[:4]]
+    + [(a, SWITCH_Q[a]) for a in ALL_ARCHS[:2]],
+)
+def test_eval_codec_golden(tmp_path, arch, quality):
     """Real-coder mode: pins the whole chain image -> pad -> compress ->
     rANS -> decompress -> metrics, including actual bitstream sizes.
-    mbt2018 exercises the wavefront AR scans end to end."""
+    mbt2018 exercises the wavefront AR scans end to end; the q>1 cases
+    pin the wider-table CDF construction and symbol dtype selection
+    through the real coder."""
     d = tmp_path / "images"
     _write_images(d, ["a.png", "b.png"])
     results = _run_eval(tmp_path, [
-        "--arch", arch, "-q", "1", "-d", str(d),
+        "--arch", arch, "-q", str(quality), "-d", str(d),
     ])
-    _check_golden(results, f"eval_rans_{arch}_1.json")
+    _check_golden(results, f"eval_rans_{arch}_{quality}.json")
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("arch", ALL_ARCHS[4:])
-def test_eval_codec_golden_cheng(tmp_path, arch):
-    """cheng2020 real-coder goldens (slow: wide transforms + AR scans)."""
+@pytest.mark.parametrize(
+    "arch,quality",
+    [(a, 1) for a in ALL_ARCHS[4:]]
+    + [(a, SWITCH_Q[a]) for a in ALL_ARCHS[2:]],
+)
+def test_eval_codec_golden_slow(tmp_path, arch, quality):
+    """cheng2020 real-coder goldens plus the AR/mean families at their
+    width-switch qualities (slow: wide transforms + AR scans)."""
     d = tmp_path / "images"
     _write_images(d, ["a.png", "b.png"])
     results = _run_eval(tmp_path, [
-        "--arch", arch, "-q", "1", "-d", str(d),
+        "--arch", arch, "-q", str(quality), "-d", str(d),
     ])
-    _check_golden(results, f"eval_rans_{arch}_1.json")
+    _check_golden(results, f"eval_rans_{arch}_{quality}.json")
 
 
 def test_eval_rd_pair_golden(tmp_path):

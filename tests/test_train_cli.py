@@ -147,3 +147,121 @@ class TestTrainMasterCLI:
         assert "epoch 0 it 0: loss=" in out
         assert m_save.exists()
         assert all(np.isfinite(v) for v in _losses(out))
+
+
+@pytest.mark.slow
+def test_cross_framework_training_convergence():
+    """Train the SAME factorized model (imported initial weights) on
+    identical data for 10 epochs in both frameworks and assert the final
+    losses agree.
+
+    The reference pins its trainer with a seeded golden log
+    (tests/test_train.py:38-88); this goes further and compares the two
+    trainers directly: reference torch loop (RateDistortionLoss + dual
+    Adam + grad clip, examples/train.py:59-206, its entropy noise from
+    torch's rng) vs our jitted train step (utils/train.py, noise from
+    jax's rng). Optimizer math is identical (Adam bias correction,
+    clip-by-global-norm 1.0, lr 1e-4/1e-3), initial weights are imported
+    bit-for-bit, and the data stream is the same numpy tensor — the only
+    nondeterminism between the two runs is which uniform noise the
+    quantization surrogate drew, so the final-epoch mean losses must
+    agree tightly (tolerance 1.5%, ~3x above the observed 0.47% gap)."""
+    import jax
+    import torch
+
+    from tests.reference_oracle import load_reference, reference_available
+
+    if not reference_available():
+        pytest.skip("reference tree not importable")
+    load_reference()
+    from compressai.models.google import FactorizedPrior
+
+    from lmic_tpu import zoo
+    from lmic_tpu.utils.train import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+        rate_distortion_loss,
+    )
+    from lmic_tpu.zoo.pretrained import import_reference_state_dict
+
+    LMBDA = 256.0  # q=1 entry of the fork's lambda table (train.py:65)
+    EPOCHS, BATCH = 10, 4
+    rng = np.random.default_rng(314)
+    # smooth-ish synthetic images (pure noise trains the bpp term only)
+    base = rng.random((8, 8, 8, 3), np.float32)
+    data = np.kron(base, np.ones((1, 8, 8, 1), np.float32))
+    data = np.clip(data + 0.1 * rng.standard_normal(data.shape), 0, 1)
+    data = data.astype(np.float32)
+
+    # --- reference trainer (examples/train.py:59-206 semantics) --------
+    torch.manual_seed(314)
+    ref = FactorizedPrior(32, 48)
+    ref.train()
+    params = [p for n, p in ref.named_parameters()
+              if not n.endswith(".quantiles")]
+    aux_params = [p for n, p in ref.named_parameters()
+                  if n.endswith(".quantiles")]
+    opt = torch.optim.Adam(params, lr=1e-4)
+    aux_opt = torch.optim.Adam(aux_params, lr=1e-3)
+
+    def ref_loss(out, target):
+        n, _, h, w = target.shape
+        bpp = sum(
+            torch.log(lik).sum() / (-np.log(2) * n * h * w)
+            for lik in out["likelihoods"].values()
+        )
+        return LMBDA * torch.nn.functional.mse_loss(
+            out["x_hat"], target
+        ) + bpp
+
+    ref_losses = []
+    for epoch in range(EPOCHS):
+        for i in range(0, len(data), BATCH):
+            xb = torch.from_numpy(
+                data[i:i + BATCH].transpose(0, 3, 1, 2).copy()
+            )
+            opt.zero_grad()
+            aux_opt.zero_grad()
+            loss = ref_loss(ref(xb), xb)
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(params, 1.0)
+            opt.step()
+            aux = ref.aux_loss()
+            aux.backward()
+            aux_opt.step()
+            if epoch == EPOCHS - 1:
+                ref_losses.append(float(loss.detach()))
+
+    # --- our trainer, from the SAME initial weights --------------------
+    codec = zoo.create_model(
+        "bmshj2018-factorized", 1, key=jax.random.key(0),
+        input_size=(64, 64), N=32, M=48,
+    )
+    torch.manual_seed(314)
+    init = FactorizedPrior(32, 48)  # identical init to `ref` before opt
+    variables = import_reference_state_dict(
+        "bmshj2018-factorized", init.state_dict(), codec.variables
+    )
+    optimizer = make_optimizer()  # Adam 1e-4 / aux 1e-3 / clip 1.0
+    state = create_train_state(variables["params"], optimizer)
+    step = make_train_step(codec.module, optimizer, lmbda=LMBDA)
+    key = jax.random.key(314)
+    our_losses = []
+    for epoch in range(EPOCHS):
+        for i in range(0, len(data), BATCH):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, data[i:i + BATCH], sub)
+            if epoch == EPOCHS - 1:
+                our_losses.append(float(metrics["loss"]))
+
+    ref_final = float(np.mean(ref_losses))
+    our_final = float(np.mean(our_losses))
+    assert np.isfinite(ref_final) and np.isfinite(our_final)
+    np.testing.assert_allclose(our_final, ref_final, rtol=0.015)
+    # both carry a real distortion term (not a degenerate bpp-only fit)
+    eval_out = codec.module.apply(
+        {"params": state.params}, data[:4], training=False
+    )
+    rd = rate_distortion_loss(eval_out, data[:4], LMBDA)
+    assert float(rd["mse_loss"]) > 0
