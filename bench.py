@@ -78,6 +78,13 @@ _EST_S = {
     "ssf2020": (260, 110),
     "rgbt-master": (300, 130),
 }
+_EST_DEFAULT = (360, 160)  # unestimated config: degrade, don't KeyError
+
+
+def _est(name):
+    return _EST_S.get(name, _EST_DEFAULT)
+
+
 _TRAIN_RESERVE_S = 280.0  # two train lines incl. one compile
 # a warmup roundtrip faster than this means the executable came from the
 # persistent compile cache — no write-back burst to settle (ADVICE r3)
@@ -625,10 +632,10 @@ def main():
     train_reserve = _TRAIN_RESERVE_S if "train" in selected else 0.0
 
     for i, name in enumerate(order):
-        cold, fast = _EST_S[name]
+        cold, fast = _est(name)
         # slack = time left after giving every remaining config a
         # compile-cached single-pass run plus the train reserve
-        reserve = sum(_EST_S[n][1] for n in order[i + 1:]) + train_reserve
+        reserve = sum(_est(n)[1] for n in order[i + 1:]) + train_reserve
         slack = _remaining() - reserve
         if slack < 0.5 * fast:
             # not even a degraded single pass fits: emitting nothing for
@@ -660,7 +667,7 @@ def main():
             continue
         if results[name][0] / BASELINES[name][0] >= 10:
             continue
-        cold, fast = _EST_S[name]
+        cold, fast = _est(name)
         if _remaining() - train_reserve < fast:
             print(f"{name} revisit skipped: deadline", file=sys.stderr)
             continue

@@ -19,8 +19,11 @@ TPU adaptations (documented deviations, weights are trained in-framework):
   from traced shapes, so spatial size is per-trace rather than baked into
   the constructor (reference hard-wires width/height at 512x640).
 - the reference reinterprets the (B, L, C) Swin output as (B, C, h, w) with
-  a raw `.view` (master.py:738) — a layout bug its weights learned around;
-  we use the intended transpose.
+  a raw `.view` (master.py:738-739) — a layout scramble its trained weights
+  learned around. `SpatialAligner` REPRODUCES that scramble bit-for-bit
+  (see the flatten/reinterpret at the end of its `__call__`): imported
+  reference weights only give parity through the exact same layout
+  (docs/parity.md). Do not "fix" it to a transpose.
 - dropout/drop-path rates are all zero in the reference config and omitted.
 The entropy path is exactly mbt2018's and reuses the wavefront codec.
 """

@@ -150,6 +150,12 @@ def _apply_codec_sharding(codec, mesh: Mesh, axis: str) -> None:
         jitted = jax.jit(inner, in_shardings=shardings)
 
         def call(*args, _jit=jitted, _sh=shardings):
+            # zip would silently drop extras on a spec-table/call-site
+            # arity mismatch — fail loudly instead
+            assert len(args) == len(_sh), (
+                f"sharded codec call got {len(args)} args, spec table "
+                f"has {len(_sh)} shardings"
+            )
             args = [
                 a if a is None else jax.device_put(a, s)
                 for a, s in zip(args, _sh)

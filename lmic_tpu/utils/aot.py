@@ -488,6 +488,17 @@ def load_serving_bundle(path, mesh=None):
             f"unsupported bundle: family {meta.get('family')!r} format "
             f"{meta.get('format')!r} (supported: {FAMILY_FORMAT})"
         )
+    if meta["family"] == "video" and int(meta["input_shape"][0]) != 1:
+        # export now rejects B>1 (per-sequence wire rule), but format-2
+        # bundles written before that gate carry batched GOP graphs whose
+        # streams depend on batch grouping — refuse to serve them rather
+        # than desync silently against per-sequence live streams
+        raise ValueError(
+            "unsupported bundle: multi-sequence (B>1) video bundles "
+            "predate the per-sequence wire rule and their streams are "
+            "not interchangeable with per-sequence codecs; re-export "
+            "with B=1 and fan out at the caller"
+        )
     nr_devices = int(meta.get("nr_devices", 1))
     if nr_devices == 1:
         if mesh is not None:
@@ -545,18 +556,26 @@ def load_serving_bundle(path, mesh=None):
 
     from lmic_tpu.models.codec import _PerItem
 
+    # sharded bundles: the per-item B=1 graphs fan out round-robin over
+    # the mesh like the live shard_codec does; single-device bundles run
+    # them on the default device (devices=None)
+    pi_devs = list(mesh.devices.flat) if nr_devices > 1 else None
+
     if family == "factorized":
         codec._enc_u8_packed = _PerItem(
-            fns["_enc_u8_packed__one"], post=fns["_enc_u8_packed__post"]
+            fns["_enc_u8_packed__one"], post=fns["_enc_u8_packed__post"],
+            devices=pi_devs,
         )
-        codec._enc_u8 = _PerItem(fns["_enc_u8__one"])
+        codec._enc_u8 = _PerItem(fns["_enc_u8__one"], devices=pi_devs)
         dec8, dec16 = fns["_dec_u8__i8"], fns["_dec_u8__i16"]
         codec._dec_u8 = (
             lambda s: dec8(s) if s.dtype == jnp.int8 else dec16(s)
         )
     else:
-        codec._analyze_u8 = _PerItem(fns["_analyze_u8__one"])
-        codec._params_from_zsym = _PerItem(fns["_params_from_zsym__one"])
+        codec._analyze_u8 = _PerItem(fns["_analyze_u8__one"],
+                                     devices=pi_devs)
+        codec._params_from_zsym = _PerItem(fns["_params_from_zsym__one"],
+                                           devices=pi_devs)
         codec._ysym = fns["_ysym"]
         codec._pack_enc = fns["_pack_enc"]
         syn8, syn16 = fns["_synth_u8__i8"], fns["_synth_u8__i16"]
