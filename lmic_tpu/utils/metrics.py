@@ -59,39 +59,57 @@ def ssim(x, y, max_val: float = 1.0):
     return jnp.mean(s)
 
 
+def _downsample2(x):
+    """2x2 stride-2 average pool with the canonical odd-size handling:
+    pytorch_msssim pads odd spatial dims with one zero row/column (torch
+    avg_pool2d padding=s%2, count_include_pad) so the downsampled size is
+    ceil(s/2); the symmetric bottom/right pad torch adds is never covered
+    by a stride-2 window, so a single leading pad reproduces it exactly."""
+    ph, pw = x.shape[1] % 2, x.shape[2] % 2
+    return jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+        ((0, 0), (ph, 0), (pw, 0), (0, 0)),
+    ) / 4.0
+
+
 def ms_ssim(x, y, max_val: float = 1.0):
-    """Multi-scale SSIM. Uses the standard 5 scales when the image is large
-    enough (min side >= 11 * 2^4 = 176); smaller images drop the coarsest
-    scales with renormalized weights instead of producing NaN from an
-    empty valid-mode blur (a reduced-scale value is a DIFFERENT metric
-    than standard 5-scale MS-SSIM — a one-time warning flags it)."""
+    """Multi-scale SSIM, canonical pytorch_msssim semantics (what the
+    reference eval CLIs report, eval_model/__main__t.py:48): per-channel
+    spatial means, relu per level, the 5-level weighted product taken per
+    (image, channel) and THEN averaged, zero-padded downsampling of odd
+    dims. Bit-validated against an independent from-the-definition numpy
+    implementation in tests/test_ms_ssim_canonical.py.
+
+    Uses the standard 5 scales whenever the image supports them
+    (min side > 160, i.e. ceil(side/16) >= 11 — pytorch_msssim's own
+    assertion bound); smaller images drop the coarsest scales with
+    renormalized weights instead of raising (a reduced-scale value is a
+    DIFFERENT metric than standard 5-scale MS-SSIM — a one-time warning
+    flags it; pytorch_msssim would refuse such inputs)."""
     n_scales = len(_MSSSIM_WEIGHTS)
     min_side = min(x.shape[1], x.shape[2])
-    while n_scales > 1 and (min_side >> (n_scales - 1)) < 11:
+    while n_scales > 1 and -(-min_side // (1 << (n_scales - 1))) < 11:
         n_scales -= 1
+    weights = jnp.asarray(_MSSSIM_WEIGHTS[:n_scales], x.dtype)
     if n_scales < len(_MSSSIM_WEIGHTS):
         import warnings
 
         warnings.warn(
-            f"ms_ssim: image min side {min_side} < 176; using "
+            f"ms_ssim: image min side {min_side} <= 160; using "
             f"{n_scales}-scale MS-SSIM with renormalized weights — not "
             "comparable to standard 5-scale values",
             stacklevel=2,
         )
-    weights = jnp.asarray(_MSSSIM_WEIGHTS[:n_scales], x.dtype)
-    weights = weights / jnp.sum(weights)
+        weights = weights / jnp.sum(weights)
     values = []
     for i in range(n_scales):
         s, cs = _ssim_components(x, y, max_val)
-        values.append(
-            jnp.mean(s) if i == n_scales - 1 else jnp.mean(cs)
-        )
+        per_channel = jnp.mean(
+            s if i == n_scales - 1 else cs, axis=(1, 2)
+        )  # (N, C)
+        values.append(jnp.maximum(per_channel, 0.0))
         if i < n_scales - 1:
-            x = jax.lax.reduce_window(
-                x, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            ) / 4.0
-            y = jax.lax.reduce_window(
-                y, 0.0, jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-            ) / 4.0
-    values = jnp.stack(values)
-    return jnp.prod(jnp.maximum(values, 0.0) ** weights)
+            x = _downsample2(x)
+            y = _downsample2(y)
+    values = jnp.stack(values)  # (L, N, C)
+    return jnp.mean(jnp.prod(values ** weights[:, None, None], axis=0))
