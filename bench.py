@@ -196,11 +196,16 @@ def bench_pipelined(arch, B=16, iters=10, passes=2):
     return max(medians), extra
 
 
-def bench_ar(arch, B=4, iters=5, passes=2):
+def bench_ar(arch, B=8, iters=5, passes=2):
     """mbt2018/cheng2020-attn: wavefront-scan AR codec, synchronous
     compress+decompress per batch (the scans are the serial bottleneck).
-    B=4, two 5-iteration passes (10 samples total): the scan's run-to-run
-    swing is the dominant noise; both pass medians are recorded."""
+    B=8: an in-process A/B on the tunnel (2026-08-19) measured B=8 ~20%
+    over B=4 (0.639/0.703 vs 0.518/0.571 MP/s, same phase) — the fixed
+    per-batch legs (params roundtrip, packed fetches, sync costs)
+    amortize over more scan work. A decode-on-worker-thread variant was
+    also measured and rejected: the encode and decode scans contend for
+    the single host core (enc scans slowed ~5x) and passes swing 0.45-0.62.
+    Two 5-iteration passes; both pass medians are recorded."""
     import jax
 
     from lmic_tpu import zoo
@@ -225,6 +230,13 @@ def bench_ar(arch, B=4, iters=5, passes=2):
         # measuring; a cache-hit warmup (fast) has no write-back burst
         out = codec.compress(x)
         codec.decompress(out["strings"], out["shape"], u8=True)
+    # one timed SYNCHRONOUS roundtrip for per-stage attribution: every
+    # stage's full serial cost, nothing hidden by pipelining
+    codec.stats.clear()
+    out = codec.compress(x)
+    codec.decompress(out["strings"], out["shape"], u8=True)
+    sync_stages = dict(codec.stats)
+    steady_stages = {}
 
     def one_pass():
         """Pipelined: batch i+1's transforms + host copies (TPU/link)
@@ -244,6 +256,12 @@ def bench_ar(arch, B=4, iters=5, passes=2):
                 now = time.perf_counter()
                 times.append(now - t_prev)
                 t_prev = now
+                # snapshot stats at an IN-LOOP join: what each stage costs
+                # in steady state (a hidden stage reads ~0 here, e.g.
+                # dec_fetch when the download overlapped the next batch's
+                # scans) — the final out-of-loop join has no overlap and
+                # would overwrite these with tail-artifact values
+                steady_stages.update(codec.stats)
             prev_dec = this_dec
             fin_enc = next_enc
         rec = prev_dec()["x_hat"]
@@ -255,7 +273,8 @@ def bench_ar(arch, B=4, iters=5, passes=2):
     extra = {
         "batch": B,
         "pass_mp_s": [round(m, 3) for m in medians],
-        "stages_ms": dict(codec.stats),  # from the last roundtrip
+        "stages_ms": sync_stages,          # one synchronous roundtrip
+        "steady_stages_ms": steady_stages,  # last in-loop (pipelined) join
         "ar_decode_device": "cpu" if on_cpu else "default",
         # fanout() refuses when scans are pinned to the CPU device
         # (io_callback hangs on the tunnel TPU), so multi-device AR
@@ -623,6 +642,13 @@ def main():
             "unit": "x",
             "vs_baseline": round(geomean, 2),
             "n_configs": len(speedups),
+            # full per-config scoreboard on EVERY geomean line: the driver
+            # records a truncated tail, so the last surviving line must
+            # carry every completed config's vs_baseline by itself
+            "configs": {
+                n: round(m / BASELINES[n][0], 2)
+                for n, (m, _) in results.items()
+            },
         }
         if skipped:  # deadline-skipped configs: be explicit, not silent
             line["deadline_skipped"] = list(skipped)

@@ -146,6 +146,14 @@ class GDN(nn.Module):
         )
         beta = beta_reparam(beta)
         gamma = gamma_reparam(gamma)  # (C_out, C_in) like the reference
+        import os
+
+        if os.environ.get("LMIC_ABLATE_GDN") == "1":
+            # timing-attribution escape (bench/profile only): measures the
+            # train step with GDN as identity so the GDN share of the MFU
+            # gap is a measured delta, not an assertion. Never set in
+            # training or serving — it changes the model.
+            return x
         # fused matmul + rsqrt epilogue (Pallas on TPU, jnp elsewhere)
         from lmic_tpu.ops.pallas_gdn import gdn_core
 

@@ -1005,6 +1005,9 @@ class JointARCodec(CompressionCodec):
         # lanes, so a second decompress on this codec must wait until this
         # call's scans have fully drained their lanes (np.asarray blocks)
         with self._decode_lock:
+            import time
+
+            t_prep = time.perf_counter()
             dec_dev = _ar_decode_device()  # bind ONCE per call: the gate
             # and the return-path dispatch below must agree
             z_hat = self.eb_state.decompress(z_strings, tuple(shape))
@@ -1026,6 +1029,12 @@ class JointARCodec(CompressionCodec):
                     len(y_strings), H, W
                 )
                 decoder_box["lanes"] = lanes
+                # the batched scan can't launch before every lane's hyper
+                # params landed on the scan device, so blocking here adds
+                # no wall time and cleanly attributes the z-decode +
+                # params roundtrip separately from the scan itself
+                jax.block_until_ready(params)
+                self._stat("dec_prep_ms", t_prep)
                 out = scan(params)
                 if dec_dev is None:
                     out.block_until_ready()  # drain lanes inside the lock

@@ -49,12 +49,51 @@ ID_TO_MODEL = {v: k for k, v in MODEL_IDS.items()}
 METRIC_IDS = {"mse": 0, "ms-ssim": 1}
 
 
+# Read-side hardening: every length/shape field in a container comes from
+# the (untrusted) file, so reads are exact (truncation is an error, not a
+# short buffer) and stream lengths are bounded by the bytes actually left
+# in the file BEFORE allocating — a flipped length byte raises a clean
+# ValueError instead of a MemoryError or a silently-short stream. The
+# reference's own read_body (codec_rgbt.py:224-249) has no such guard.
+# Latent shape dims are bounded at 2^16 (a 65k-latent side is a >4M-pixel
+# image side — far beyond anything either framework codes).
+_MAX_SHAPE = 1 << 16
+
+
+def _read_exact(f, n):
+    buf = f.read(n)
+    if len(buf) != n:
+        raise ValueError(
+            f"corrupt container: wanted {n} bytes, file ends after "
+            f"{len(buf)}"
+        )
+    return buf
+
+
+def _read_stream(f, ln):
+    pos = f.tell()
+    end = f.seek(0, 2)
+    f.seek(pos)
+    if ln > end - pos:
+        raise ValueError(
+            f"corrupt container: stream length {ln} exceeds the "
+            f"{end - pos} bytes left in the file"
+        )
+    return _read_exact(f, ln)
+
+
+def _check_shape(shape):
+    if any(not 0 < s <= _MAX_SHAPE for s in shape):
+        raise ValueError(f"corrupt container: implausible shape {shape}")
+    return shape
+
+
 def write_uchars(f, values):
     f.write(struct.pack(f">{len(values)}B", *values))
 
 
 def read_uchars(f, n):
-    return struct.unpack(f">{n}B", f.read(n))
+    return struct.unpack(f">{n}B", _read_exact(f, n))
 
 
 def write_uints(f, values):
@@ -62,7 +101,7 @@ def write_uints(f, values):
 
 
 def read_uints(f, n):
-    return struct.unpack(f">{n}I", f.read(4 * n))
+    return struct.unpack(f">{n}I", _read_exact(f, 4 * n))
 
 
 def write_floats(f, values):
@@ -70,7 +109,7 @@ def write_floats(f, values):
 
 
 def read_floats(f, n):
-    return struct.unpack(f">{n}f", f.read(4 * n))
+    return struct.unpack(f">{n}f", _read_exact(f, 4 * n))
 
 
 def write_body(f, shape, string_groups):
@@ -84,7 +123,7 @@ def write_body(f, shape, string_groups):
 
 
 def read_body(f):
-    shape = read_uints(f, 2)
+    shape = _check_shape(read_uints(f, 2))
     (n_groups,) = read_uchars(f, 1)
     groups = []
     for _ in range(n_groups):
@@ -92,7 +131,7 @@ def read_body(f):
         group = []
         for _ in range(n):
             (ln,) = read_uints(f, 1)
-            group.append(f.read(ln))
+            group.append(_read_stream(f, ln))
         groups.append(group)
     return shape, groups
 
@@ -141,7 +180,12 @@ def write_body_ref(f, shape, string_groups):
 
 def read_body_ref(f):
     h, w, n = read_uints(f, 3)
-    return (h, w), [[f.read(read_uints(f, 1)[0])] for _ in range(n)]
+    _check_shape((h, w))
+    if n > 255:  # the reference writes at most a few streams per body
+        raise ValueError(f"corrupt container: implausible stream count {n}")
+    return (h, w), [
+        [_read_stream(f, read_uints(f, 1)[0])] for _ in range(n)
+    ]
 
 
 def encode_image_ref(input_path, output_path, codec, arch, quality,
@@ -173,7 +217,7 @@ def encode_image_ref(input_path, output_path, codec, arch, quality,
 
 
 def decode_image_ref(f, output_path, make_codec, arch, quality):
-    H, W = read_uints(f, 2)
+    H, W = _check_shape(read_uints(f, 2))
     (bitdepth,) = read_uchars(f, 1)
     shape, strings = read_body_ref(f)
     codec = make_codec(arch, quality)
@@ -259,7 +303,7 @@ def decode_image(input_path, output_path, make_codec):
         model_id, mq = read_uchars(f, 2)
         quality = (mq & 0x0F) + 1
         arch = ID_TO_MODEL[model_id]
-        H, W = read_uints(f, 2)
+        H, W = _check_shape(read_uints(f, 2))
         (bitdepth,) = read_uchars(f, 1)
         shape, strings = read_body(f)
     codec = make_codec(arch, quality)
@@ -317,7 +361,7 @@ def decode_rgbt(input_path, guide_path, output_path, build_guided,
         (magic,) = read_uints(f, 1)
         assert magic == MAGIC
         model_id, mq = read_uchars(f, 2)
-        H, W = read_uints(f, 2)
+        H, W = _check_shape(read_uints(f, 2))
         bitdepth, channel = read_uchars(f, 2)
         beta = np.asarray(read_floats(f, 64), np.float32).reshape(1, 1, 1, 64)
         gamma = np.asarray(read_floats(f, 64), np.float32).reshape(
@@ -481,9 +525,11 @@ def decode_video(f, output_path, make_codec, quality,
     YUV420 (or the last frame as an image for non-.yuv outputs).
     `body_reader` selects the container body layout (read_body_ref for
     reference-written files)."""
-    H, W = read_uints(f, 2)
+    H, W = _check_shape(read_uints(f, 2))
     (bitdepth,) = read_uchars(f, 1)
     (n,) = read_uints(f, 1)
+    if n > 1_000_000:
+        raise ValueError(f"corrupt container: implausible frame count {n}")
     codec = make_codec("ssf2020", quality)
     out_is_yuv = str(output_path).endswith(".yuv")
     x_ref = None
@@ -607,85 +653,93 @@ def main(argv=None):
                        args.quality)
         print(f"encoded {size} bytes in {time.perf_counter()-t0:.2f}s")
     else:
-        t0 = time.perf_counter()
-        # container auto-detect: ours leads with a u32 magic; the
-        # reference's first byte is a small model id whose following
-        # bytes parse as (h, w) far below the magic value
-        with open(args.input, "rb") as f:
-            head = f.read(4)
-        word = struct.unpack(">I", head)[0] if len(head) == 4 else None
-        if word in RETIRED_MAGICS:
-            raise SystemExit(
-                f"{args.input}: written by an older lmic-codec container "
-                f"version (magic 0x{word:04X}); re-encode with this version"
-            )
-        ours = word == MAGIC
-        if ours:
+        try:
+            t0 = time.perf_counter()
+            # container auto-detect: ours leads with a u32 magic; the
+            # reference's first byte is a small model id whose following
+            # bytes parse as (h, w) far below the magic value
             with open(args.input, "rb") as f:
-                read_uints(f, 1)
-                model_id, mq = read_uchars(f, 2)
-                quality = (mq & 0x0F) + 1
-                arch = ID_TO_MODEL[model_id]
-                if arch == "ssf2020":
-                    decode_video(
-                        f, args.output,
-                        lambda a, q: _build(a, q, args.checkpoint), quality,
-                    )
-            if arch == "master":
-                if args.guide is None:
-                    raise SystemExit(
-                        "decoding a master file requires --guide"
-                    )
-                decode_rgbt(
-                    args.input, args.guide, args.output,
-                    lambda ch: _build("guided", quality,
-                                      args.guided_checkpoint, channel=ch),
-                    lambda ch: _build("master", quality, args.checkpoint,
-                                      channel=ch),
+                head = f.read(4)
+            word = struct.unpack(">I", head)[0] if len(head) == 4 else None
+            if word in RETIRED_MAGICS:
+                raise SystemExit(
+                    f"{args.input}: written by an older lmic-codec container "
+                    f"version (magic 0x{word:04X}); re-encode with this version"
                 )
-            elif arch != "ssf2020":
-                decode_image(
-                    args.input, args.output,
-                    lambda a, q: _build(a, q, args.checkpoint),
-                )
-        else:  # reference container
-            with open(args.input, "rb") as f:
-                model_id, mq = read_uchars(f, 2)
-                quality = (mq & 0x0F) + 1
-                arch = REF_ID_TO_MODEL.get(model_id)
-                if arch not in REF_INTEROP_ARCHS | {"master"}:
-                    raise SystemExit(
-                        f"reference-container arch {arch!r} is outside the "
-                        "interop family: "
-                        f"{', '.join(sorted(REF_INTEROP_ARCHS))}, master"
-                    )
-                if arch == "ssf2020":
-                    decode_video_ref(
-                        f, args.output,
-                        lambda a, q: _build(a, q, args.checkpoint), quality,
-                    )
-                elif arch == "master":
+            ours = word == MAGIC
+            if ours:
+                with open(args.input, "rb") as f:
+                    read_uints(f, 1)
+                    model_id, mq = read_uchars(f, 2)
+                    quality = (mq & 0x0F) + 1
+                    arch = ID_TO_MODEL[model_id]
+                    if arch == "ssf2020":
+                        decode_video(
+                            f, args.output,
+                            lambda a, q: _build(a, q, args.checkpoint), quality,
+                        )
+                if arch == "master":
                     if args.guide is None:
                         raise SystemExit(
                             "decoding a master file requires --guide"
                         )
-                    decode_rgbt_ref(
-                        f, args.guide, args.output,
+                    decode_rgbt(
+                        args.input, args.guide, args.output,
                         lambda ch: _build("guided", quality,
-                                          args.guided_checkpoint,
+                                          args.guided_checkpoint, channel=ch),
+                        lambda ch: _build("master", quality, args.checkpoint,
                                           channel=ch),
-                        lambda ch: _build("master", quality,
-                                          args.checkpoint, channel=ch),
-                        channel=args.channel,
                     )
-                else:
-                    decode_image_ref(
-                        f, args.output,
+                elif arch != "ssf2020":
+                    decode_image(
+                        args.input, args.output,
                         lambda a, q: _build(a, q, args.checkpoint),
-                        arch, quality,
                     )
-        print(f"decoded [{arch} q={quality}] in "
-              f"{time.perf_counter()-t0:.2f}s")
+            else:  # reference container
+                with open(args.input, "rb") as f:
+                    model_id, mq = read_uchars(f, 2)
+                    quality = (mq & 0x0F) + 1
+                    arch = REF_ID_TO_MODEL.get(model_id)
+                    if arch not in REF_INTEROP_ARCHS | {"master"}:
+                        raise SystemExit(
+                            f"reference-container arch {arch!r} is outside the "
+                            "interop family: "
+                            f"{', '.join(sorted(REF_INTEROP_ARCHS))}, master"
+                        )
+                    if arch == "ssf2020":
+                        decode_video_ref(
+                            f, args.output,
+                            lambda a, q: _build(a, q, args.checkpoint), quality,
+                        )
+                    elif arch == "master":
+                        if args.guide is None:
+                            raise SystemExit(
+                                "decoding a master file requires --guide"
+                            )
+                        decode_rgbt_ref(
+                            f, args.guide, args.output,
+                            lambda ch: _build("guided", quality,
+                                              args.guided_checkpoint,
+                                              channel=ch),
+                            lambda ch: _build("master", quality,
+                                              args.checkpoint, channel=ch),
+                            channel=args.channel,
+                        )
+                    else:
+                        decode_image_ref(
+                            f, args.output,
+                            lambda a, q: _build(a, q, args.checkpoint),
+                            arch, quality,
+                        )
+            print(f"decoded [{arch} q={quality}] in "
+                  f"{time.perf_counter()-t0:.2f}s")
+        except ValueError as e:
+            # read-side container guards raise ValueError with a
+            # "corrupt container" message; surface those as a clean
+            # CLI error instead of a traceback
+            if "corrupt container" not in str(e):
+                raise
+            raise SystemExit(f"{args.input}: {e}")
 
 
 if __name__ == "__main__":
