@@ -459,7 +459,7 @@ def bench_train_step(B=8, size=256, iters=10):
     key = jax.random.key(1)
 
     state, metrics = step(state, batch, key)  # compile
-    jax.block_until_ready(metrics)
+    jax.block_until_ready(state.params)
     try:
         lowered = step.lower(state, batch, key)
         flops = float(lowered.compile().cost_analysis()["flops"])
@@ -467,14 +467,19 @@ def bench_train_step(B=8, size=256, iters=10):
         flops = None
     # a training loop does not sync per step: chain `iters` steps through
     # the state dependency with ONE final block, so the tunnel's ~35 ms
-    # round trip amortizes instead of dominating the step time
+    # round trip amortizes instead of dominating the step time.
+    # Block on state.params, NOT the scalar metrics: on the axon platform
+    # jax.block_until_ready on the small scalar outputs returns before the
+    # step has executed (measured 2026-08-19: metrics-block read
+    # 0.7 ms/step while a params-block — and a float(loss) fetch — read
+    # the true 62.6 ms/step), which would silently measure dispatch only.
     chain = 10
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         for _ in range(chain):
             state, metrics = step(state, batch, key)
-        jax.block_until_ready(metrics)
+        jax.block_until_ready(state.params)
         times.append((time.perf_counter() - t0) / chain)
     dt = float(np.median(times))
     line = {

@@ -12,6 +12,13 @@ and commented-out torchsnooper decorators (SURVEY.md §5). Here:
 Wall-clock numbers around jitted code are only meaningful if the section
 blocks on the result; `timed` calls `block_until_ready` on an optional
 `sync` pytree for that reason.
+
+Axon (tunnel-TPU) caveat, measured 2026-08-19: `jax.block_until_ready`
+on SMALL SCALAR outputs can return before the computation has executed
+(a metrics dict read 0.7 ms/step where the true step was 62.6 ms) —
+pass a LARGE output array (e.g. the updated params) as `sync`, or
+materialize a value with `float(...)`/`np.asarray(...)`, or the section
+measures dispatch only.
 """
 
 from __future__ import annotations
