@@ -129,6 +129,7 @@ class GDN(nn.Module):
     inverse: bool = False
     beta_min: float = 1e-6
     gamma_init: float = 0.1
+    dtype: Any = None  # compute dtype; params stay f32 (flax AMP convention)
 
     @nn.compact
     def __call__(self, x):
@@ -146,6 +147,13 @@ class GDN(nn.Module):
         )
         beta = beta_reparam(beta)
         gamma = gamma_reparam(gamma)  # (C_out, C_in) like the reference
+        if self.dtype is not None:
+            # reparametrization math stays f32 (its custom gradients and
+            # minimum clamps are precision-sensitive); only the activation
+            # normalization itself runs in the compute dtype.
+            x = x.astype(self.dtype)
+            beta = beta.astype(self.dtype)
+            gamma = gamma.astype(self.dtype)
         import os
 
         if os.environ.get("LMIC_ABLATE_GDN") == "1":

@@ -38,19 +38,25 @@ class FactorizedPrior(nn.Module):
     N: int
     M: int
     channel: int = 3
+    # Activation compute dtype (e.g. jnp.bfloat16 for AMP training): conv
+    # and GDN activations run in this dtype while parameters and all
+    # entropy/likelihood math stay f32. Leave None (f32) for codec wires —
+    # the frozen bitstream formats assume f32 transforms.
+    dtype: Any = None
 
     def setup(self):
+        dt = self.dtype
         self.g_a_net = nn.Sequential([
-            Conv(self.N), GDN(),
-            Conv(self.N), GDN(),
-            Conv(self.N), GDN(),
-            Conv(self.M),
+            Conv(self.N, dtype=dt), GDN(dtype=dt),
+            Conv(self.N, dtype=dt), GDN(dtype=dt),
+            Conv(self.N, dtype=dt), GDN(dtype=dt),
+            Conv(self.M, dtype=dt),
         ])
         self.g_s_net = nn.Sequential([
-            Deconv(self.N), GDN(inverse=True),
-            Deconv(self.N), GDN(inverse=True),
-            Deconv(self.N), GDN(inverse=True),
-            Deconv(self.channel),
+            Deconv(self.N, dtype=dt), GDN(inverse=True, dtype=dt),
+            Deconv(self.N, dtype=dt), GDN(inverse=True, dtype=dt),
+            Deconv(self.N, dtype=dt), GDN(inverse=True, dtype=dt),
+            Deconv(self.channel, dtype=dt),
         ])
         self.entropy_bottleneck = EntropyBottleneck(channels=self.M)
 
@@ -59,16 +65,19 @@ class FactorizedPrior(nn.Module):
         return 2**4
 
     def g_a(self, x):
-        return self.g_a_net(x)
+        return self.g_a_net(x).astype(jnp.float32)
 
     def g_s(self, y_hat):
-        return self.g_s_net(y_hat)
+        return self.g_s_net(y_hat).astype(jnp.float32)
 
 
     def __call__(self, x, training: bool = True):
-        y = self.g_a_net(x)
+        # subnet outputs are cast back to f32 at the entropy/loss
+        # boundaries: quantization-noise and likelihood math is
+        # precision-sensitive and stays f32 under AMP (dtype=bf16).
+        y = self.g_a_net(x).astype(jnp.float32)
         y_hat, y_likelihoods = self.entropy_bottleneck(y, training=training)
-        x_hat = self.g_s_net(y_hat)
+        x_hat = self.g_s_net(y_hat).astype(jnp.float32)
         return {"x_hat": x_hat, "likelihoods": {"y": y_likelihoods}}
 
     def aux_loss(self):
@@ -82,6 +91,7 @@ class ScaleHyperprior(nn.Module):
     N: int
     M: int
     channel: int = 3
+    dtype: Any = None  # AMP activation dtype; see FactorizedPrior.dtype
 
     def setup(self):
         self.g_a_net = self._make_g_a()
@@ -92,33 +102,37 @@ class ScaleHyperprior(nn.Module):
         self.gaussian_conditional = GaussianConditional()
 
     def _make_g_a(self):
+        dt = self.dtype
         return nn.Sequential([
-            Conv(self.N), GDN(),
-            Conv(self.N), GDN(),
-            Conv(self.N), GDN(),
-            Conv(self.M),
+            Conv(self.N, dtype=dt), GDN(dtype=dt),
+            Conv(self.N, dtype=dt), GDN(dtype=dt),
+            Conv(self.N, dtype=dt), GDN(dtype=dt),
+            Conv(self.M, dtype=dt),
         ])
 
     def _make_g_s(self):
+        dt = self.dtype
         return nn.Sequential([
-            Deconv(self.N), GDN(inverse=True),
-            Deconv(self.N), GDN(inverse=True),
-            Deconv(self.N), GDN(inverse=True),
-            Deconv(self.channel),
+            Deconv(self.N, dtype=dt), GDN(inverse=True, dtype=dt),
+            Deconv(self.N, dtype=dt), GDN(inverse=True, dtype=dt),
+            Deconv(self.N, dtype=dt), GDN(inverse=True, dtype=dt),
+            Deconv(self.channel, dtype=dt),
         ])
 
     def _make_h_a(self):
+        dt = self.dtype
         return nn.Sequential([
-            Conv(self.N, kernel_size=3, stride=1), nn.relu,
-            Conv(self.N), nn.relu,
-            Conv(self.N),
+            Conv(self.N, kernel_size=3, stride=1, dtype=dt), nn.relu,
+            Conv(self.N, dtype=dt), nn.relu,
+            Conv(self.N, dtype=dt),
         ])
 
     def _make_h_s(self):
+        dt = self.dtype
         return nn.Sequential([
-            Deconv(self.N), nn.relu,
-            Deconv(self.N), nn.relu,
-            Conv(self.M, kernel_size=3, stride=1), nn.relu,
+            Deconv(self.N, dtype=dt), nn.relu,
+            Deconv(self.N, dtype=dt), nn.relu,
+            Conv(self.M, kernel_size=3, stride=1, dtype=dt), nn.relu,
         ])
 
     @property
@@ -126,35 +140,38 @@ class ScaleHyperprior(nn.Module):
         return 2**6
 
     def g_a(self, x):
-        return self.g_a_net(x)
+        return self.g_a_net(x).astype(jnp.float32)
 
     def g_s(self, y_hat):
-        return self.g_s_net(y_hat)
+        return self.g_s_net(y_hat).astype(jnp.float32)
 
     def h_a(self, y):
-        return self.h_a_net(jnp.abs(y))
+        return self.h_a_net(jnp.abs(y)).astype(jnp.float32)
 
     def hyper_to_params(self, z_hat):
         """z_hat -> (scales, means). Shared by the enc/dec device fns so the
         scale-bucket indexes are bit-identical on both sides."""
-        return self.h_s_net(z_hat), None
+        return self.h_s_net(z_hat).astype(jnp.float32), None
 
     def analyze(self, x):
         """Encoder device pass: (y, z)."""
-        y = self.g_a_net(x)
-        z = self.h_a_net(jnp.abs(y))
+        y = self.g_a_net(x).astype(jnp.float32)
+        z = self.h_a_net(jnp.abs(y)).astype(jnp.float32)
         return y, z
 
     def __call__(self, x, training: bool = True):
-        y = self.g_a_net(x)
-        z = self.h_a_net(jnp.abs(y))
+        # f32 casts at the entropy boundaries: under AMP (dtype=bf16) the
+        # transforms run in bf16 but quantization noise, CDF evaluation,
+        # and the scale conditioning stay f32.
+        y = self.g_a_net(x).astype(jnp.float32)
+        z = self.h_a_net(jnp.abs(y)).astype(jnp.float32)
         z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
-        scales_hat = self.h_s_net(z_hat)
+        scales_hat = self.h_s_net(z_hat).astype(jnp.float32)
         key = self.make_rng("noise") if training else None
         y_hat, y_likelihoods = self.gaussian_conditional(
             y, scales_hat, training=training, key=key
         )
-        x_hat = self.g_s_net(y_hat)
+        x_hat = self.g_s_net(y_hat).astype(jnp.float32)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
@@ -169,46 +186,49 @@ class MeanScaleHyperprior(ScaleHyperprior):
     Reference google.py:348-416."""
 
     def _make_h_a(self):
+        dt = self.dtype
         return nn.Sequential([
-            Conv(self.N, kernel_size=3, stride=1),
+            Conv(self.N, kernel_size=3, stride=1, dtype=dt),
             lambda x: nn.leaky_relu(x, 0.01),
-            Conv(self.N),
+            Conv(self.N, dtype=dt),
             lambda x: nn.leaky_relu(x, 0.01),
-            Conv(self.N),
+            Conv(self.N, dtype=dt),
         ])
 
     def _make_h_s(self):
+        dt = self.dtype
         return nn.Sequential([
-            Deconv(self.M),
+            Deconv(self.M, dtype=dt),
             lambda x: nn.leaky_relu(x, 0.01),
-            Deconv(self.M * 3 // 2),
+            Deconv(self.M * 3 // 2, dtype=dt),
             lambda x: nn.leaky_relu(x, 0.01),
-            Conv(self.M * 2, kernel_size=3, stride=1),
+            Conv(self.M * 2, kernel_size=3, stride=1, dtype=dt),
         ])
 
     def h_a(self, y):
-        return self.h_a_net(y)  # no abs for the mean-scale variant
+        # no abs for the mean-scale variant
+        return self.h_a_net(y).astype(jnp.float32)
 
     def hyper_to_params(self, z_hat):
-        params = self.h_s_net(z_hat)
+        params = self.h_s_net(z_hat).astype(jnp.float32)
         scales, means = jnp.split(params, 2, axis=-1)
         return scales, means
 
     def analyze(self, x):
-        y = self.g_a_net(x)
-        z = self.h_a_net(y)
+        y = self.g_a_net(x).astype(jnp.float32)
+        z = self.h_a_net(y).astype(jnp.float32)
         return y, z
 
     def __call__(self, x, training: bool = True):
-        y = self.g_a_net(x)
-        z = self.h_a_net(y)
+        y = self.g_a_net(x).astype(jnp.float32)
+        z = self.h_a_net(y).astype(jnp.float32)
         z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
         scales_hat, means_hat = self.hyper_to_params(z_hat)
         key = self.make_rng("noise") if training else None
         y_hat, y_likelihoods = self.gaussian_conditional(
             y, scales_hat, means=means_hat, training=training, key=key
         )
-        x_hat = self.g_s_net(y_hat)
+        x_hat = self.g_s_net(y_hat).astype(jnp.float32)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},

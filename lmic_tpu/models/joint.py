@@ -47,21 +47,23 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
     """mbt2018: hyperprior + masked-conv context model + entropy-params MLP."""
 
     def _make_h_a(self):
+        dt = self.dtype
         return nn.Sequential([
-            Conv(self.N, kernel_size=3, stride=1),
+            Conv(self.N, kernel_size=3, stride=1, dtype=dt),
             lambda x: nn.leaky_relu(x, 0.01),
-            Conv(self.N, kernel_size=5, stride=2),
+            Conv(self.N, kernel_size=5, stride=2, dtype=dt),
             lambda x: nn.leaky_relu(x, 0.01),
-            Conv(self.N, kernel_size=5, stride=2),
+            Conv(self.N, kernel_size=5, stride=2, dtype=dt),
         ])
 
     def _make_h_s(self):
+        dt = self.dtype
         return nn.Sequential([
-            Deconv(self.M, kernel_size=5, stride=2),
+            Deconv(self.M, kernel_size=5, stride=2, dtype=dt),
             lambda x: nn.leaky_relu(x, 0.01),
-            Deconv(self.M * 3 // 2, kernel_size=5, stride=2),
+            Deconv(self.M * 3 // 2, kernel_size=5, stride=2, dtype=dt),
             lambda x: nn.leaky_relu(x, 0.01),
-            Conv(self.M * 2, kernel_size=3, stride=1),
+            Conv(self.M * 2, kernel_size=3, stride=1, dtype=dt),
         ])
 
     def setup(self):
@@ -85,7 +87,7 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
     def hyper_to_params(self, z_hat):
         """z_hat -> hyper params at y resolution (NOT yet split: the split
         happens after fusing with the context features)."""
-        return self.h_s_net(z_hat)
+        return self.h_s_net(z_hat).astype(jnp.float32)
 
     def entropy_parameters(self, x):
         return self.entropy_parameters_net(x)
@@ -99,10 +101,13 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         return scales, means
 
     def __call__(self, x, training: bool = True):
-        y = self.g_a_net(x)
-        z = self.h_a_net(y)
+        # f32 at the entropy boundaries under AMP (dtype=bf16): the
+        # quantization noise, context conv, and likelihood math stay f32;
+        # only the four transform stacks run in the compute dtype.
+        y = self.g_a_net(x).astype(jnp.float32)
+        z = self.h_a_net(y).astype(jnp.float32)
         z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
-        params = self.h_s_net(z_hat)
+        params = self.h_s_net(z_hat).astype(jnp.float32)
 
         # context input y_hat is quantized WITHOUT means
         # (reference google.py:500-502)
@@ -118,7 +123,7 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         _, y_likelihoods = self.gaussian_conditional(
             y, scales_hat, means=means_hat, training=training, key=key
         )
-        x_hat = self.g_s_net(y_hat)
+        x_hat = self.g_s_net(y_hat).astype(jnp.float32)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},

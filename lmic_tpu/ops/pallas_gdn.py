@@ -30,34 +30,53 @@ from jax.experimental import pallas as pl
 TILE_N = 256
 
 
+def _prec(x):
+    """Full-precision passes for f32 (parity with the torch reference);
+    native single-pass MXU mode for bf16 AMP activations."""
+    if x.dtype == jnp.float32:
+        return jax.lax.Precision.HIGHEST
+    return jax.lax.Precision.DEFAULT
+
+
 def _gdn_jnp(x, beta, gamma, inverse: bool):
     norm = (
         jnp.einsum(
             "...i,oi->...o", jnp.square(x), gamma,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_prec(x), preferred_element_type=jnp.float32,
         )
-        + beta
+        + beta.astype(jnp.float32)
     )
     if inverse:
-        return x * jnp.sqrt(norm)
-    return x * jax.lax.rsqrt(norm)
+        return x * jnp.sqrt(norm).astype(x.dtype)
+    return x * jax.lax.rsqrt(norm).astype(x.dtype)
 
 
 def _kernel(x_ref, gamma_t_ref, beta_ref, out_ref, *, inverse: bool):
     x = x_ref[:]
-    # full-precision MXU passes: the bf16 default costs ~1e-3 absolute
-    # error vs the f32 reference path — visible in parity tests
+    # f32 inputs get full-precision MXU passes: the bf16 default costs
+    # ~1e-3 absolute error vs the f32 reference path — visible in parity
+    # tests. bf16 inputs (AMP training) are already the MXU-native mode;
+    # the accumulator stays f32 via preferred_element_type.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if x.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     norm = (
         jnp.dot(
             x * x, gamma_t_ref[:], preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
-        + beta_ref[:]
+        + beta_ref[:].astype(jnp.float32)
     )
     if inverse:
-        out_ref[:] = x * jnp.sqrt(norm)
+        out_ref[:] = (x * jnp.sqrt(norm).astype(x.dtype)).astype(
+            out_ref.dtype
+        )
     else:
-        out_ref[:] = x * jax.lax.rsqrt(norm)
+        out_ref[:] = (x * jax.lax.rsqrt(norm).astype(x.dtype)).astype(
+            out_ref.dtype
+        )
 
 
 def _gdn_pallas(x2d, beta, gamma, inverse: bool, interpret: bool):
@@ -97,7 +116,7 @@ def gdn_core(x, beta, gamma, inverse: bool = False):
     x: (..., C); beta: (C,); gamma: (C_out, C_in), all post-reparam.
     """
     mode = _use_pallas()
-    if not mode or x.dtype != jnp.float32:
+    if not mode or x.dtype not in (jnp.float32, jnp.bfloat16):
         return _gdn_jnp(x, beta, gamma, inverse)
     shape = x.shape
     C = shape[-1]
@@ -113,35 +132,46 @@ def _gdn_fwd(x, beta, gamma, inverse):
 
 
 def _gdn_bwd(inverse, res, g):
+    # dn and the norm accumulate in f32 regardless of the activation dtype
+    # (AMP keeps reductions in f32); the returned cotangents match the
+    # primal dtypes as custom_vjp requires. For f32 inputs every cast is
+    # an identity and the math is unchanged.
     x, beta, gamma = res
+    prec = _prec(x)
     norm = (
         jnp.einsum(
             "...i,oi->...o", jnp.square(x), gamma,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec, preferred_element_type=jnp.float32,
         )
-        + beta
+        + beta.astype(jnp.float32)
     )
+    g32 = g.astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
     if inverse:
         # y = x * n^(1/2);  dL/dn_j = g_j x_j (1/2) n_j^(-1/2)
-        dn = 0.5 * g * x * jax.lax.rsqrt(norm)
-        dx = g * jnp.sqrt(norm) + 2.0 * x * jnp.einsum(
-            "...j,ji->...i", dn, gamma,
-            precision=jax.lax.Precision.HIGHEST,
+        dn = 0.5 * g32 * x32 * jax.lax.rsqrt(norm)
+        dx = g32 * jnp.sqrt(norm) + 2.0 * x32 * jnp.einsum(
+            "...j,ji->...i", dn.astype(x.dtype), gamma,
+            precision=prec, preferred_element_type=jnp.float32,
         )
     else:
         # y = x * n^(-1/2);  dL/dn_j = -g_j x_j (1/2) n_j^(-3/2)
-        dn = -0.5 * g * x * norm ** -1.5
-        dx = g * jax.lax.rsqrt(norm) + 2.0 * x * jnp.einsum(
-            "...j,ji->...i", dn, gamma,
-            precision=jax.lax.Precision.HIGHEST,
+        dn = -0.5 * g32 * x32 * norm ** -1.5
+        dx = g32 * jax.lax.rsqrt(norm) + 2.0 * x32 * jnp.einsum(
+            "...j,ji->...i", dn.astype(x.dtype), gamma,
+            precision=prec, preferred_element_type=jnp.float32,
         )
     dbeta = dn.reshape(-1, x.shape[-1]).sum(0)
     x2 = jnp.square(x).reshape(-1, x.shape[-1])
     dgamma = jnp.einsum(
-        "no,ni->oi", dn.reshape(-1, x.shape[-1]), x2,
-        precision=jax.lax.Precision.HIGHEST,
+        "no,ni->oi", dn.reshape(-1, x.shape[-1]).astype(x.dtype), x2,
+        precision=prec, preferred_element_type=jnp.float32,
     )
-    return dx, dbeta, dgamma
+    return (
+        dx.astype(x.dtype),
+        dbeta.astype(beta.dtype),
+        dgamma.astype(gamma.dtype),
+    )
 
 
 gdn_core.defvjp(_gdn_fwd, _gdn_bwd)

@@ -47,6 +47,23 @@ def load_checkpoint(path: str, state_template):
     return state, payload.get("extra", {})
 
 
+def load_train_params(path: str, params_template):
+    """Restore ONLY the params subtree of a training checkpoint, without
+    reconstructing the optimizer pytree. load_checkpoint needs a template
+    whose optax state structure matches the one used at save time (lr
+    schedule, clip norm, ...); deployment finalization only needs the
+    weights, so decode the msgpack generically and restore the params
+    branch structurally. Mirrors the reference update_model flow, which
+    reads just the net state_dict (update_model/__main__.py:150-166)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    raw = flax.serialization.msgpack_restore(payload["state"])
+    params = flax.serialization.from_state_dict(
+        params_template, raw["params"]
+    )
+    return params, payload.get("extra", {})
+
+
 def save_params(path: str, params):
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(jax.device_get(params)))

@@ -39,6 +39,15 @@ from lmic_tpu.utils.train import (
     rate_distortion_loss,
 )
 
+# archs whose transform stacks plumb an activation compute dtype
+# (models/image.py `dtype` field + boundary casts); --amp is gated on this
+AMP_ARCHS = {
+    "bmshj2018-factorized",
+    "bmshj2018-hyperprior",
+    "mbt2018-mean",
+    "mbt2018",
+}
+
 
 def make_master_train_step(master_module, guided_module, guided_params,
                            optimizer, lmbda: float):
@@ -105,6 +114,11 @@ def parse_args(argv):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 matmul precision on the MXU (reference AMP "
                         "equivalent; params/likelihoods stay f32)")
+    p.add_argument("--amp", action="store_true",
+                   help="bf16 ACTIVATIONS through the transform stacks "
+                        "(halves the HBM traffic that bounds the step; "
+                        "params, quantization noise, and likelihoods stay "
+                        "f32). Google-family + mbt2018 archs only.")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward "
                         "(jax.checkpoint): ~1/3 more FLOPs for larger "
@@ -133,9 +147,17 @@ def train_single(args):
     from lmic_tpu.utils.train import make_eval_step, step_lr
 
     lmbda = LAMBDA_TABLE[args.quality - 1]
+    kwargs = {}
+    if getattr(args, "amp", False):
+        if args.arch not in AMP_ARCHS:
+            raise SystemExit(
+                f"--amp supports {sorted(AMP_ARCHS)}; {args.arch} does not "
+                "plumb an activation dtype through its transforms yet"
+            )
+        kwargs["dtype"] = jnp.bfloat16
     codec = zoo.create_model(
         args.arch, args.quality, key=jax.random.key(args.seed),
-        channel=args.channel, input_size=tuple(args.patch_size),
+        channel=args.channel, input_size=tuple(args.patch_size), **kwargs,
     )
     module = codec.module
 

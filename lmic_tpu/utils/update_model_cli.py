@@ -84,13 +84,12 @@ def run(argv=None):
             args.checkpoint, codec.variables["params"]
         )
     else:
-        from lmic_tpu.utils.train import create_train_state, make_optimizer
-
-        state = create_train_state(
-            codec.variables["params"], make_optimizer()
+        # params-only restore: works for checkpoints saved with ANY
+        # optimizer configuration (lr schedule / clip norm change the
+        # optax state structure, which a full-state template must match)
+        params, _ = ckpt.load_train_params(
+            args.checkpoint, codec.variables["params"]
         )
-        state, _ = ckpt.load_checkpoint(args.checkpoint, state)
-        params = state.params
     if not args.from_torch:
         codec = type(codec)(codec.module, {"params": params})
     name = args.name or f"{args.arch}-q{args.quality}"

@@ -1,0 +1,120 @@
+"""bf16-activation AMP training (`dtype=jnp.bfloat16` on the google-family
+models + mbt2018): params stay f32, entropy/likelihood math stays f32, the
+loss tracks the f32 model closely, and the bf16 Pallas GDN path agrees with
+the jnp formula. TPU analogue of the reference's torch.cuda.amp autocast
+(reference examples/train.py:172-186), but with the activation dtype plumbed
+through the flax modules instead of a runtime cast context."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from lmic_tpu import zoo  # noqa: E402
+from lmic_tpu.ops import pallas_gdn  # noqa: E402
+from lmic_tpu.utils.train import (  # noqa: E402
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+AMP_ARCHS = ["bmshj2018-factorized", "bmshj2018-hyperprior",
+             "mbt2018-mean", "mbt2018"]
+
+
+def _make(arch, **kw):
+    return zoo.create_model(
+        arch, quality=1, key=jax.random.key(0), input_size=(64, 64), **kw
+    )
+
+
+@pytest.mark.parametrize("arch", AMP_ARCHS)
+def test_amp_step_tracks_f32(arch):
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+    key = jax.random.key(1)
+
+    losses = {}
+    for name, kw in [("f32", {}), ("amp", {"dtype": jnp.bfloat16})]:
+        codec = _make(arch, **kw)
+        opt = make_optimizer()
+        state = create_train_state(codec.variables["params"], opt)
+        step = make_train_step(codec.module, opt, lmbda=0.0018)
+        state, metrics = step(state, batch, key)
+        jax.block_until_ready(state.params)
+        # AMP keeps master weights (and their updates) in f32
+        assert all(
+            l.dtype == jnp.float32
+            for l in jax.tree_util.tree_leaves(state.params)
+        )
+        losses[name] = float(metrics["loss"])
+        assert np.isfinite(losses[name])
+
+    # same init => the bf16 transforms should move the RD loss by well
+    # under 1% at step 0 (measured ~0.07% for hyperprior)
+    rel = abs(losses["amp"] - losses["f32"]) / abs(losses["f32"])
+    assert rel < 0.01, (losses, rel)
+
+
+def test_amp_likelihoods_are_f32():
+    """The entropy boundary casts hold: likelihoods and x_hat come out f32
+    even when the transforms run in bf16."""
+    codec = _make("bmshj2018-hyperprior", dtype=jnp.bfloat16)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    out = codec.module.apply(
+        codec.variables, x, training=True, rngs={"noise": jax.random.key(0)}
+    )
+    assert out["x_hat"].dtype == jnp.float32
+    for lik in out["likelihoods"].values():
+        assert lik.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+def test_pallas_gdn_bf16(inverse, monkeypatch):
+    """The Pallas kernel accepts bf16 activations (AMP training path) and
+    matches the jnp bf16 formula to bf16 rounding."""
+    k = jax.random.key(0)
+    kx, kb, kg = jax.random.split(k, 3)
+    C = 64
+    x = jax.random.normal(kx, (2, 9, 7, C)).astype(jnp.bfloat16)
+    beta = jax.random.uniform(kb, (C,), minval=0.5, maxval=1.5).astype(
+        jnp.bfloat16
+    )
+    gamma = (
+        jax.random.uniform(kg, (C, C), minval=0.0, maxval=0.02)
+        + 0.1 * jnp.eye(C)
+    ).astype(jnp.bfloat16)
+    ref = pallas_gdn._gdn_jnp(x, beta, gamma, inverse)
+    monkeypatch.setenv("LMIC_PALLAS", "interpret")
+    out = pallas_gdn.gdn_core(x, beta, gamma, inverse)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=0.05
+    )
+    # custom VJP returns cotangents in the primal dtypes and finite
+    grads = jax.grad(
+        lambda x, b, g: pallas_gdn.gdn_core(x, b, g, inverse)
+        .astype(jnp.float32)
+        .sum(),
+        argnums=(0, 1, 2),
+    )(x, beta, gamma)
+    for got, prim in zip(grads, (x, beta, gamma)):
+        assert got.dtype == prim.dtype
+        assert np.isfinite(np.asarray(got, np.float32)).all()
+
+
+def test_amp_does_not_change_f32_wires():
+    """Constructing WITHOUT dtype still produces the exact f32 graph: the
+    golden-stream tests pin this globally, but assert the cheap invariant
+    here too (g_a output dtype + identical params tree)."""
+    a = _make("bmshj2018-hyperprior")
+    b = _make("bmshj2018-hyperprior")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    ya = a.module.apply(a.variables, x, method="g_a")
+    assert ya.dtype == jnp.float32
+    ja = jax.tree_util.tree_map(
+        lambda p, q: bool(jnp.array_equal(p, q)),
+        a.variables["params"], b.variables["params"],
+    )
+    assert all(jax.tree_util.tree_leaves(ja))

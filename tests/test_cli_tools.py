@@ -277,6 +277,44 @@ class TestUpdateModel:
         r = codec2.decompress(o["strings"], o["shape"])
         assert r["x_hat"].shape == x.shape
 
+    def test_finalize_scheduled_optimizer_checkpoint(self, tmp_path):
+        """Regression: lmic-train saves states under make_optimizer(step_lr,
+        aux_lr, clip) whose optax state structure differs from the default
+        template — finalization must restore params structurally, not via a
+        full-state template (checkpoint.load_train_params)."""
+        import jax
+
+        from lmic_tpu import zoo
+        from lmic_tpu.utils import checkpoint as ckpt
+        from lmic_tpu.utils.train import (
+            create_train_state,
+            make_optimizer,
+            step_lr,
+        )
+        from lmic_tpu.utils.update_model_cli import run
+
+        codec = zoo.create_model(
+            "bmshj2018-factorized", 1, key=jax.random.key(0),
+            input_size=(64, 64),
+        )
+        opt = make_optimizer(step_lr(1e-4, 10), 1e-3, 1.0)
+        state = create_train_state(codec.variables["params"], opt)
+        train_ckpt = tmp_path / "train_sched.ckpt"
+        ckpt.save_checkpoint(str(train_ckpt), state)
+
+        out = run([
+            str(train_ckpt), "-a", "bmshj2018-factorized", "-q", "1",
+            "-d", str(tmp_path),
+        ])
+        assert "bmshj2018-factorized-q1-" in out
+        # the restored params must be the saved ones, not the template's
+        params, _ = ckpt.load_train_params(
+            str(train_ckpt), codec.variables["params"]
+        )
+        ref = jax.tree_util.tree_leaves(state.params)
+        got = jax.tree_util.tree_leaves(params)
+        assert all(np.array_equal(a, b) for a, b in zip(ref, got))
+
     def test_aot_shape_flag_exports_bundle(self, tmp_path):
         import jax
 
