@@ -85,7 +85,7 @@ def _est(name):
     return _EST_S.get(name, _EST_DEFAULT)
 
 
-_TRAIN_RESERVE_S = 280.0  # two train lines incl. one compile
+_TRAIN_RESERVE_S = 420.0  # three train lines incl. two compiles
 # a warmup roundtrip faster than this means the executable came from the
 # persistent compile cache — no write-back burst to settle (ADVICE r3)
 _SETTLE_SKIP_S = float(os.environ.get("LMIC_BENCH_SETTLE_SKIP_S", 15.0))
@@ -425,13 +425,15 @@ def bench_rgbt(iters=3, passes=2):
     return max(medians), extra
 
 
-def bench_train_step(B=8, size=256, iters=10):
+def bench_train_step(B=8, size=256, iters=10, amp=False):
     """SPMD train-step line: step time, images/s, and an MFU estimate from
     XLA's own flop count vs chip peak (LMIC_TPU_PEAK_FLOPS; defaults to
-    TPU v5e bf16 peak). Not part of the codec geomean. Called twice: the
-    reference-comparable point (B=8@256) and a saturating point (B=64@256)
-    so the training story is a scaling curve, not one configuration."""
+    TPU v5e bf16 peak). Not part of the codec geomean. Called three times:
+    the reference-comparable point (B=8@256), a saturating point (B=64@256),
+    and the bf16-activation AMP point (B=64@256, amp=True) — the step is
+    HBM-bound at f32 activations, so AMP is the headline training config."""
     import jax
+    import jax.numpy as jnp
 
     from lmic_tpu import zoo
     from lmic_tpu.utils.train import (
@@ -440,14 +442,16 @@ def bench_train_step(B=8, size=256, iters=10):
         make_train_step,
     )
 
+    kw = {"dtype": jnp.bfloat16} if amp else {}
     codec = zoo.create_model(
         "bmshj2018-hyperprior", quality=1, key=jax.random.key(0),
-        input_size=(size, size),
+        input_size=(size, size), **kw,
     )
     optimizer = make_optimizer()
     state = create_train_state(codec.variables["params"], optimizer)
     step = make_train_step(
-        codec.module, optimizer, lmbda=0.0018, matmul_precision="bfloat16"
+        codec.module, optimizer, lmbda=0.0018,
+        matmul_precision=None if amp else "bfloat16",
     )
     rng = np.random.default_rng(0)
     # the batch lives on device: a real training loop overlaps the input
@@ -462,28 +466,37 @@ def bench_train_step(B=8, size=256, iters=10):
     jax.block_until_ready(state.params)
     try:
         lowered = step.lower(state, batch, key)
-        flops = float(lowered.compile().cost_analysis()["flops"])
+        ca = lowered.compile().cost_analysis()
+        flops = float(ca["flops"])
+        # measured roofline attribution: XLA's own bytes-accessed count.
+        # f32 activations put this step left of the v5e ridge point
+        # (~240 FLOP/byte) — i.e. HBM-bound — which is what the bf16 AMP
+        # point halves.
+        bytes_acc = float(ca.get("bytes accessed", 0.0)) or None
     except Exception:  # pragma: no cover - cost analysis is best-effort
-        flops = None
+        flops = bytes_acc = None
     # a training loop does not sync per step: chain `iters` steps through
-    # the state dependency with ONE final block, so the tunnel's ~35 ms
+    # the state dependency with ONE final sync, so the tunnel's ~35 ms
     # round trip amortizes instead of dominating the step time.
-    # Block on state.params, NOT the scalar metrics: on the axon platform
-    # jax.block_until_ready on the small scalar outputs returns before the
-    # step has executed (measured 2026-08-19: metrics-block read
-    # 0.7 ms/step while a params-block — and a float(loss) fetch — read
-    # the true 62.6 ms/step), which would silently measure dispatch only.
-    chain = 10
+    # The sync is an ACTUAL HOST FETCH (float(loss)), not block_until_ready:
+    # on the axon platform block_until_ready can return before execution —
+    # on scalars always (measured 0.7 ms/step), and measured 2026-08-19 on
+    # the params tree too (1.01 ms/step dispatch-only vs the 61.6 ms/step a
+    # value fetch reads). Only a fetch of a value that depends on the whole
+    # chain reliably forces completion; its ~25 ms fixed cost amortizes
+    # over the 20-step chain (~1.2 ms/step, under the run-to-run noise).
+    chain = 20
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         for _ in range(chain):
             state, metrics = step(state, batch, key)
-        jax.block_until_ready(state.params)
+        _ = float(metrics["loss"])
         times.append((time.perf_counter() - t0) / chain)
     dt = float(np.median(times))
     line = {
-        "metric": f"train_step_hyperprior_{size}px_b{B}",
+        "metric": f"train_step_hyperprior_{size}px_b{B}"
+                  + ("_amp" if amp else ""),
         "value": round(B / dt, 2),
         "unit": "images/s",
         "step_ms": round(dt * 1e3, 1),
@@ -493,6 +506,9 @@ def bench_train_step(B=8, size=256, iters=10):
         line["xla_flops_per_step"] = flops
         line["mfu_est"] = round(flops / dt / PEAK_FLOPS, 4)
         line["mfu_peak_flops_assumed"] = PEAK_FLOPS
+    if bytes_acc:
+        line["xla_bytes_accessed_gb"] = round(bytes_acc / 1e9, 2)
+        line["arith_intensity_flop_per_byte"] = round(flops / bytes_acc, 1)
     return line
 
 
@@ -722,6 +738,14 @@ def main():
             else:
                 print("train scaling line skipped: deadline",
                       file=sys.stderr)
+            # bf16-activation AMP point: same batch, activations in bf16
+            # through the transforms (halves the HBM traffic that bounds
+            # the f32 step) — the recommended large-batch training config
+            if _remaining() > 150.0:
+                print(json.dumps(bench_train_step(B=64, amp=True)),
+                      flush=True)
+            else:
+                print("train amp line skipped: deadline", file=sys.stderr)
         except Exception as e:  # pragma: no cover - keep the bench alive
             train_ok = False
             print(f"train_step bench failed: {type(e).__name__}: {e}",

@@ -257,16 +257,18 @@ class ResidualBlockWithStride(nn.Module):
 
     features: int
     stride: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        out = conv3x3(self.features, self.stride)(x)
+        dt = self.dtype
+        out = conv3x3(self.features, self.stride, dtype=dt)(x)
         out = nn.leaky_relu(out, 0.01)
-        out = conv3x3(self.features)(out)
-        out = GDN()(out)
+        out = conv3x3(self.features, dtype=dt)(out)
+        out = GDN(dtype=dt)(out)
         if self.stride != 1 or x.shape[-1] != self.features:
-            x = conv1x1(self.features, self.stride)(x)
-        return out + x
+            x = conv1x1(self.features, self.stride, dtype=dt)(x)
+        return out + x.astype(out.dtype)
 
 
 class ResidualBlockUpsample(nn.Module):
@@ -275,14 +277,16 @@ class ResidualBlockUpsample(nn.Module):
 
     features: int
     upsample: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        out = SubpelConv3x3(self.features, self.upsample)(x)
+        dt = self.dtype
+        out = SubpelConv3x3(self.features, self.upsample, dtype=dt)(x)
         out = nn.leaky_relu(out, 0.01)
-        out = conv3x3(self.features)(out)
-        out = GDN(inverse=True)(out)
-        identity = SubpelConv3x3(self.features, self.upsample)(x)
+        out = conv3x3(self.features, dtype=dt)(out)
+        out = GDN(inverse=True, dtype=dt)(out)
+        identity = SubpelConv3x3(self.features, self.upsample, dtype=dt)(x)
         return out + identity
 
 
@@ -290,46 +294,54 @@ class ResidualBlock(nn.Module):
     """Two 3x3 convs with leaky ReLU (reference layers.py:160-190)."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        out = conv3x3(self.features)(x)
+        dt = self.dtype
+        out = conv3x3(self.features, dtype=dt)(x)
         out = nn.leaky_relu(out, 0.01)
-        out = conv3x3(self.features)(out)
+        out = conv3x3(self.features, dtype=dt)(out)
         out = nn.leaky_relu(out, 0.01)
         if x.shape[-1] != self.features:
-            x = conv1x1(self.features)(x)
-        return out + x
+            x = conv1x1(self.features, dtype=dt)(x)
+        return out + x.astype(out.dtype)
 
 
 class _ResidualUnit(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck used inside AttentionBlock."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
         N = x.shape[-1]
-        out = conv1x1(N // 2)(x)
+        dt = self.dtype
+        out = conv1x1(N // 2, dtype=dt)(x)
         out = nn.relu(out)
-        out = conv3x3(N // 2)(out)
+        out = conv3x3(N // 2, dtype=dt)(out)
         out = nn.relu(out)
-        out = conv1x1(N)(out)
-        return nn.relu(out + x)
+        out = conv1x1(N, dtype=dt)(out)
+        return nn.relu(out + x.astype(out.dtype))
 
 
 class AttentionBlock(nn.Module):
     """Cheng2020 sigmoid-gated trunk/mask attention
     (reference layers.py:193-244)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         a = x
         for _ in range(3):
-            a = _ResidualUnit()(a)
+            a = _ResidualUnit(dtype=dt)(a)
         b = x
         for _ in range(3):
-            b = _ResidualUnit()(b)
-        b = conv1x1(x.shape[-1])(b)
-        return x + a * jax.nn.sigmoid(b)
+            b = _ResidualUnit(dtype=dt)(b)
+        b = conv1x1(x.shape[-1], dtype=dt)(b)
+        return x + (a * jax.nn.sigmoid(b)).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

@@ -33,48 +33,48 @@ class Cheng2020Anchor(JointAutoregressiveHierarchicalPriors):
     """cheng2020-anchor: M = N; residual/subpel transforms."""
 
     def _make_g_a(self):
-        N = self.N
+        N, dt = self.N, self.dtype
         return nn.Sequential([
-            ResidualBlockWithStride(N, stride=2),
-            ResidualBlock(N),
-            ResidualBlockWithStride(N, stride=2),
-            ResidualBlock(N),
-            ResidualBlockWithStride(N, stride=2),
-            ResidualBlock(N),
-            conv3x3(N, stride=2),
+            ResidualBlockWithStride(N, stride=2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockWithStride(N, stride=2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockWithStride(N, stride=2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            conv3x3(N, stride=2, dtype=dt),
         ])
 
     def _make_g_s(self):
-        N = self.N
+        N, dt = self.N, self.dtype
         return nn.Sequential([
-            ResidualBlock(N),
-            ResidualBlockUpsample(N, 2),
-            ResidualBlock(N),
-            ResidualBlockUpsample(N, 2),
-            ResidualBlock(N),
-            ResidualBlockUpsample(N, 2),
-            ResidualBlock(N),
-            SubpelConv3x3(self.channel, 2),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockUpsample(N, 2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockUpsample(N, 2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockUpsample(N, 2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            SubpelConv3x3(self.channel, 2, dtype=dt),
         ])
 
     def _make_h_a(self):
-        N = self.N
+        N, dt = self.N, self.dtype
         return nn.Sequential([
-            conv3x3(N), _leaky,
-            conv3x3(N), _leaky,
-            conv3x3(N, stride=2), _leaky,
-            conv3x3(N), _leaky,
-            conv3x3(N, stride=2),
+            conv3x3(N, dtype=dt), _leaky,
+            conv3x3(N, dtype=dt), _leaky,
+            conv3x3(N, stride=2, dtype=dt), _leaky,
+            conv3x3(N, dtype=dt), _leaky,
+            conv3x3(N, stride=2, dtype=dt),
         ])
 
     def _make_h_s(self):
-        N = self.N
+        N, dt = self.N, self.dtype
         return nn.Sequential([
-            conv3x3(N), _leaky,
-            SubpelConv3x3(N, 2), _leaky,
-            conv3x3(N * 3 // 2), _leaky,
-            SubpelConv3x3(N * 3 // 2, 2), _leaky,
-            conv3x3(N * 2),
+            conv3x3(N, dtype=dt), _leaky,
+            SubpelConv3x3(N, 2, dtype=dt), _leaky,
+            conv3x3(N * 3 // 2, dtype=dt), _leaky,
+            SubpelConv3x3(N * 3 // 2, 2, dtype=dt), _leaky,
+            conv3x3(N * 2, dtype=dt),
         ])
 
 
@@ -82,30 +82,30 @@ class Cheng2020Attention(Cheng2020Anchor):
     """cheng2020-attn: adds attention blocks in g_a / g_s."""
 
     def _make_g_a(self):
-        N = self.N
+        N, dt = self.N, self.dtype
         return nn.Sequential([
-            ResidualBlockWithStride(N, stride=2),
-            ResidualBlock(N),
-            ResidualBlockWithStride(N, stride=2),
-            AttentionBlock(),
-            ResidualBlock(N),
-            ResidualBlockWithStride(N, stride=2),
-            ResidualBlock(N),
-            conv3x3(N, stride=2),
-            AttentionBlock(),
+            ResidualBlockWithStride(N, stride=2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockWithStride(N, stride=2, dtype=dt),
+            AttentionBlock(dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockWithStride(N, stride=2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            conv3x3(N, stride=2, dtype=dt),
+            AttentionBlock(dtype=dt),
         ])
 
     def _make_g_s(self):
-        N = self.N
+        N, dt = self.N, self.dtype
         return nn.Sequential([
-            AttentionBlock(),
-            ResidualBlock(N),
-            ResidualBlockUpsample(N, 2),
-            ResidualBlock(N),
-            ResidualBlockUpsample(N, 2),
-            AttentionBlock(),
-            ResidualBlock(N),
-            ResidualBlockUpsample(N, 2),
-            ResidualBlock(N),
-            SubpelConv3x3(self.channel, 2),
+            AttentionBlock(dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockUpsample(N, 2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockUpsample(N, 2, dtype=dt),
+            AttentionBlock(dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            ResidualBlockUpsample(N, 2, dtype=dt),
+            ResidualBlock(N, dtype=dt),
+            SubpelConv3x3(self.channel, 2, dtype=dt),
         ])

@@ -46,6 +46,8 @@ AMP_ARCHS = {
     "bmshj2018-hyperprior",
     "mbt2018-mean",
     "mbt2018",
+    "cheng2020-anchor",
+    "cheng2020-attn",
 }
 
 
@@ -118,7 +120,7 @@ def parse_args(argv):
                    help="bf16 ACTIVATIONS through the transform stacks "
                         "(halves the HBM traffic that bounds the step; "
                         "params, quantization noise, and likelihoods stay "
-                        "f32). Google-family + mbt2018 archs only.")
+                        "f32). Google-family, mbt2018, and cheng2020 archs.")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward "
                         "(jax.checkpoint): ~1/3 more FLOPs for larger "

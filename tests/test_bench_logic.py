@@ -93,11 +93,12 @@ def test_main_train_only_exits_zero(monkeypatch, capsys):
     # geomean line, exit 0, train line is the LAST JSON line
     rc, lines = _run_main(
         monkeypatch, capsys, "train",
-        bench_train_step=lambda B=8, size=256: {
-            "metric": f"train_step_time_b{B}", "value": 1.0, "unit": "ms"},
+        bench_train_step=lambda B=8, size=256, amp=False: {
+            "metric": f"train_step_time_b{B}" + ("_amp" if amp else ""),
+            "value": 1.0, "unit": "ms"},
     )
     assert rc == 0
-    assert lines[-1]["metric"] == "train_step_time_b64"
+    assert lines[-1]["metric"] == "train_step_time_b64_amp"
 
 
 def test_main_train_only_failure_exits_one(monkeypatch, capsys):
@@ -172,30 +173,31 @@ def test_main_train_scaling_line_skipped_near_deadline(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_remaining", lambda: 60.0)
     calls = []
 
-    def fake_train(B=8, size=256):
-        calls.append(B)
+    def fake_train(B=8, size=256, amp=False):
+        calls.append((B, amp))
         return {"metric": f"train_step_hyperprior_{size}px_b{B}",
                 "value": 1.0, "unit": "images/s"}
 
     rc, lines = _run_main(monkeypatch, capsys, "train",
                           bench_train_step=fake_train)
     assert rc == 0
-    assert calls == [8]
+    assert calls == [(8, False)]
 
 
 def test_main_train_scaling_line_runs_with_time(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_remaining", lambda: 10_000.0)
     calls = []
 
-    def fake_train(B=8, size=256):
-        calls.append(B)
-        return {"metric": f"train_step_hyperprior_{size}px_b{B}",
+    def fake_train(B=8, size=256, amp=False):
+        calls.append((B, amp))
+        return {"metric": f"train_step_hyperprior_{size}px_b{B}"
+                + ("_amp" if amp else ""),
                 "value": 1.0, "unit": "images/s"}
 
     rc, lines = _run_main(monkeypatch, capsys, "train",
                           bench_train_step=fake_train)
     assert rc == 0
-    assert calls == [8, 64]
+    assert calls == [(8, False), (64, False), (64, True)]
 
 
 def test_main_codec_selected_but_failed_exits_one(monkeypatch, capsys):

@@ -64,3 +64,36 @@ def test_gdn_module_uses_core(data):
     y = mod.apply(v, x)
     assert y.shape == x.shape
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("ragged", [0, 7])
+@pytest.mark.parametrize("inverse", [False, True])
+def test_fused_backward_matches_jnp(dtype, ragged, inverse, monkeypatch):
+    """The fused Pallas backward (dx + accumulated dbeta/dgamma over
+    revisited output blocks, zero-padded ragged tiles) matches the jnp
+    backward for f32 and bf16, full and ragged tile counts."""
+    dt = jnp.dtype(dtype)
+    k = jax.random.key(3)
+    kx, kb, kg, kc = jax.random.split(k, 4)
+    C = 64
+    n = 2 * pallas_gdn.TILE_N + ragged
+    x = jax.random.normal(kx, (n, C)).astype(dt)
+    g = jax.random.normal(kc, (n, C)).astype(dt)
+    beta = jax.random.uniform(kb, (C,), minval=0.5, maxval=1.5).astype(dt)
+    gamma = (
+        jax.random.uniform(kg, (C, C), minval=0.0, maxval=0.02)
+        + 0.1 * jnp.eye(C)
+    ).astype(dt)
+    ref = pallas_gdn._gdn_bwd_jnp(inverse, (x, beta, gamma), g)
+    monkeypatch.setenv("LMIC_PALLAS", "interpret")
+    got = pallas_gdn._gdn_bwd(inverse, (x, beta, gamma), g)
+    tol = 1e-5 if dt == jnp.float32 else 2e-2
+    for name, a, b in zip(("dx", "dbeta", "dgamma"), got, ref):
+        assert a.dtype == b.dtype, name
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1.0, np.abs(b).max())
+        np.testing.assert_array_less(
+            np.abs(a - b).max() / scale, tol, err_msg=name
+        )
