@@ -428,7 +428,10 @@ def bench_rgbt(iters=3, passes=2):
 def bench_train_step(B=8, size=256, iters=10, amp=False):
     """SPMD train-step line: step time, images/s, and an MFU estimate from
     XLA's own flop count vs chip peak (LMIC_TPU_PEAK_FLOPS; defaults to
-    TPU v5e bf16 peak). Not part of the codec geomean. Called three times:
+    TPU v5e bf16 peak). The flop count excludes our Pallas GDN kernels
+    (XLA does not cost custom calls), so mfu_est is conservative by ~13%
+    for this model (docs/performance.md roofline table uses the
+    consistent full-graph basis). Not part of the codec geomean. Called three times:
     the reference-comparable point (B=8@256), a saturating point (B=64@256),
     and the bf16-activation AMP point (B=64@256, amp=True) — the step is
     HBM-bound at f32 activations, so AMP is the headline training config."""
