@@ -515,21 +515,38 @@ def bench_train_step(B=8, size=256, iters=10, amp=False):
     return line
 
 
-def probe_link_bandwidth(mb: int = 16):
+def probe_link_bandwidth(mb: int = 16, timeout_s: float = 150.0):
     """Round-trip bandwidth of the host-device link (MB/s). The tunnel's
     bandwidth varies ~2x run to run and bounds the pipelined configs, so
-    record it alongside the throughput numbers."""
-    import jax
+    record it alongside the throughput numbers.
 
-    buf = np.zeros(mb << 20, np.uint8)
-    dev = jax.device_put(buf)  # warm the path
-    _ = np.asarray(dev)
-    t0 = time.perf_counter()
-    dev = jax.device_put(buf)
-    dev.block_until_ready()
-    _ = np.asarray(dev)
-    dt = time.perf_counter() - t0
-    return 2 * mb / dt
+    Runs in a SUBPROCESS with a hard timeout: the tunnel can wedge
+    MID-RUN even after _probe_tpu passed (device ops hang, not error) —
+    observed 2026-08-20, an in-process 16 MB probe blocked a train-only
+    sweep for 40 minutes with zero output. A hung or failed probe reads
+    as 0.0 MB/s (fully degraded), so wait_for_link's bounded budget takes
+    over instead of the whole sweep hanging before its first JSON line."""
+    import subprocess
+
+    code = (
+        "import time; import numpy as np; import jax\n"
+        f"buf = np.zeros({mb} << 20, np.uint8)\n"
+        "dev = jax.device_put(buf)  # warm the path\n"
+        "_ = np.asarray(dev)\n"
+        "t0 = time.perf_counter()\n"
+        "dev = jax.device_put(buf)\n"
+        "dev.block_until_ready()\n"
+        "_ = np.asarray(dev)\n"
+        f"print(2 * {mb} / (time.perf_counter() - t0))\n"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, check=True, capture_output=True, text=True,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0
 
 
 # The tunnel degrades in MULTI-MINUTE phases (probed 1.9-65 MB/s across

@@ -344,13 +344,16 @@ class GuidedEncoder(nn.Module):
     N: int
     M: int
     first_stride: int = 2
+    dtype: Any = None  # AMP activation dtype (see models/image.py)
 
     @nn.compact
     def __call__(self, x):
-        g1 = GDN()(Conv(self.N, stride=self.first_stride)(x))
-        g2 = GDN()(Conv(self.N)(g1))
-        g3 = GDN()(Conv(self.N)(g2))
-        y = Conv(self.M)(g3)
+        dt = self.dtype
+        g1 = GDN(dtype=dt)(Conv(self.N, stride=self.first_stride,
+                                dtype=dt)(x))
+        g2 = GDN(dtype=dt)(Conv(self.N, dtype=dt)(g1))
+        g3 = GDN(dtype=dt)(Conv(self.N, dtype=dt)(g2))
+        y = Conv(self.M, dtype=dt)(g3)
         return y, g1, g2, g3
 
 
@@ -361,13 +364,15 @@ class GuidedDecoder(nn.Module):
     N: int
     channel: int = 1
     first_stride: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, y_hat):
-        g1 = GDN(inverse=True)(Deconv(self.N)(y_hat))
-        g2 = GDN(inverse=True)(Deconv(self.N)(g1))
-        g3 = GDN(inverse=True)(Deconv(self.N)(g2))
-        x_hat = Deconv(self.channel, stride=self.first_stride)(g3)
+        dt = self.dtype
+        g1 = GDN(inverse=True, dtype=dt)(Deconv(self.N, dtype=dt)(y_hat))
+        g2 = GDN(inverse=True, dtype=dt)(Deconv(self.N, dtype=dt)(g1))
+        g3 = GDN(inverse=True, dtype=dt)(Deconv(self.N, dtype=dt)(g2))
+        x_hat = Deconv(self.channel, stride=self.first_stride, dtype=dt)(g3)
         return x_hat, g1, g2, g3
 
 
@@ -387,38 +392,49 @@ class GuidedCompresser(JointAutoregressiveHierarchicalPriors):
 
     def _make_g_a(self):
         return GuidedEncoder(N=self.N, M=self.M,
-                             first_stride=self.first_stride)
+                             first_stride=self.first_stride,
+                             dtype=self.dtype)
 
     def _make_g_s(self):
         return GuidedDecoder(N=self.N, channel=self.channel,
-                             first_stride=self.first_stride)
+                             first_stride=self.first_stride,
+                             dtype=self.dtype)
 
     def g_a(self, x):
-        return self.g_a_net(x)[0]
+        return self.g_a_net(x)[0].astype(jnp.float32)
 
     def g_s(self, y_hat):
-        return self.g_s_net(y_hat)[0]
+        return self.g_s_net(y_hat)[0].astype(jnp.float32)
 
     def g_a_hidden(self, x):
         """y plus the encoder hidden maps (ga1..3)."""
         y, g1, g2, g3 = self.g_a_net(x)
-        return y, {"ga1": g1, "ga2": g2, "ga3": g3}
+        f32 = jnp.float32
+        return y.astype(f32), {"ga1": g1.astype(f32), "ga2": g2.astype(f32),
+                               "ga3": g3.astype(f32)}
 
     def g_s_hidden(self, y_hat):
         """x_hat plus the decoder hidden maps the master codec consumes."""
         x_hat, g1, g2, g3 = self.g_s_net(y_hat)
-        return x_hat, {"gs1": g1, "gs2": g2, "gs3": g3}
+        f32 = jnp.float32
+        return x_hat.astype(f32), {"gs1": g1.astype(f32),
+                                   "gs2": g2.astype(f32),
+                                   "gs3": g3.astype(f32)}
 
     def analyze(self, x):
-        y = self.g_a_net(x)[0]
-        z = self.h_a_net(y)
+        y = self.g_a_net(x)[0].astype(jnp.float32)
+        z = self.h_a_net(y).astype(jnp.float32)
         return y, z
 
     def __call__(self, x, training: bool = True):
+        # f32 at the entropy boundaries under AMP (see models/image.py);
+        # the hidden taps the master consumes are also emitted f32
+        f32 = jnp.float32
         y, ga1, ga2, ga3 = self.g_a_net(x)
-        z = self.h_a_net(y)
+        y = y.astype(f32)
+        z = self.h_a_net(y).astype(f32)
         z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
-        params = self.h_s_net(z_hat)
+        params = self.h_s_net(z_hat).astype(f32)
 
         if training:
             key = self.make_rng("noise")
@@ -433,11 +449,12 @@ class GuidedCompresser(JointAutoregressiveHierarchicalPriors):
         )
         x_hat, gs1, gs2, gs3 = self.g_s_net(y_hat)
         return {
-            "x_hat": x_hat,
+            "x_hat": x_hat.astype(f32),
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
             "hidden": {
-                "ga1": ga1, "ga2": ga2, "ga3": ga3,
-                "gs1": gs1, "gs2": gs2, "gs3": gs3,
+                "ga1": ga1.astype(f32), "ga2": ga2.astype(f32),
+                "ga3": ga3.astype(f32), "gs1": gs1.astype(f32),
+                "gs2": gs2.astype(f32), "gs3": gs3.astype(f32),
             },
         }
 

@@ -48,6 +48,7 @@ AMP_ARCHS = {
     "mbt2018",
     "cheng2020-anchor",
     "cheng2020-attn",
+    "guided",
 }
 
 
@@ -120,7 +121,8 @@ def parse_args(argv):
                    help="bf16 ACTIVATIONS through the transform stacks "
                         "(halves the HBM traffic that bounds the step; "
                         "params, quantization noise, and likelihoods stay "
-                        "f32). Google-family, mbt2018, and cheng2020 archs.")
+                        "f32). Google-family, mbt2018, cheng2020, and "
+                        "guided archs.")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward "
                         "(jax.checkpoint): ~1/3 more FLOPs for larger "

@@ -21,7 +21,7 @@ from lmic_tpu.utils.train import (  # noqa: E402
 
 AMP_ARCHS = ["bmshj2018-factorized", "bmshj2018-hyperprior",
              "mbt2018-mean", "mbt2018", "cheng2020-anchor",
-             "cheng2020-attn"]
+             "cheng2020-attn", "guided"]
 
 
 def _make(arch, **kw):

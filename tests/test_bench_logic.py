@@ -210,3 +210,16 @@ def test_main_codec_selected_but_failed_exits_one(monkeypatch, capsys):
     assert rc == 1
     assert lines[-1]["metric"] == "encdec_speedup_geomean_vs_cpu_reference"
     assert lines[-1]["value"] is None
+
+
+def test_probe_link_bandwidth_hang_reads_degraded(monkeypatch):
+    """A wedged tunnel hangs transfers instead of erroring; the probe runs
+    in a subprocess with a hard timeout and a hang must read as 0.0 MB/s
+    (fully degraded) instead of blocking the sweep."""
+    import subprocess
+
+    def hang(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1.0)
+
+    monkeypatch.setattr(subprocess, "run", hang)
+    assert bench.probe_link_bandwidth(mb=1, timeout_s=1.0) == 0.0
