@@ -26,6 +26,7 @@ from lmic_tpu.entropy.entropy_models import (
     quantize_dequantize,
 )
 from lmic_tpu.layers import GDN, Conv, Deconv
+from lmic_tpu.ops.math import from_amp
 
 
 class FactorizedPrior(nn.Module):
@@ -65,19 +66,19 @@ class FactorizedPrior(nn.Module):
         return 2**4
 
     def g_a(self, x):
-        return self.g_a_net(x).astype(jnp.float32)
+        return from_amp(self.g_a_net(x))
 
     def g_s(self, y_hat):
-        return self.g_s_net(y_hat).astype(jnp.float32)
+        return from_amp(self.g_s_net(y_hat))
 
 
     def __call__(self, x, training: bool = True):
         # subnet outputs are cast back to f32 at the entropy/loss
         # boundaries: quantization-noise and likelihood math is
         # precision-sensitive and stays f32 under AMP (dtype=bf16).
-        y = self.g_a_net(x).astype(jnp.float32)
+        y = from_amp(self.g_a_net(x))
         y_hat, y_likelihoods = self.entropy_bottleneck(y, training=training)
-        x_hat = self.g_s_net(y_hat).astype(jnp.float32)
+        x_hat = from_amp(self.g_s_net(y_hat))
         return {"x_hat": x_hat, "likelihoods": {"y": y_likelihoods}}
 
     def aux_loss(self):
@@ -140,38 +141,38 @@ class ScaleHyperprior(nn.Module):
         return 2**6
 
     def g_a(self, x):
-        return self.g_a_net(x).astype(jnp.float32)
+        return from_amp(self.g_a_net(x))
 
     def g_s(self, y_hat):
-        return self.g_s_net(y_hat).astype(jnp.float32)
+        return from_amp(self.g_s_net(y_hat))
 
     def h_a(self, y):
-        return self.h_a_net(jnp.abs(y)).astype(jnp.float32)
+        return from_amp(self.h_a_net(jnp.abs(y)))
 
     def hyper_to_params(self, z_hat):
         """z_hat -> (scales, means). Shared by the enc/dec device fns so the
         scale-bucket indexes are bit-identical on both sides."""
-        return self.h_s_net(z_hat).astype(jnp.float32), None
+        return from_amp(self.h_s_net(z_hat)), None
 
     def analyze(self, x):
         """Encoder device pass: (y, z)."""
-        y = self.g_a_net(x).astype(jnp.float32)
-        z = self.h_a_net(jnp.abs(y)).astype(jnp.float32)
+        y = from_amp(self.g_a_net(x))
+        z = from_amp(self.h_a_net(jnp.abs(y)))
         return y, z
 
     def __call__(self, x, training: bool = True):
         # f32 casts at the entropy boundaries: under AMP (dtype=bf16) the
         # transforms run in bf16 but quantization noise, CDF evaluation,
         # and the scale conditioning stay f32.
-        y = self.g_a_net(x).astype(jnp.float32)
-        z = self.h_a_net(jnp.abs(y)).astype(jnp.float32)
+        y = from_amp(self.g_a_net(x))
+        z = from_amp(self.h_a_net(jnp.abs(y)))
         z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
-        scales_hat = self.h_s_net(z_hat).astype(jnp.float32)
+        scales_hat = from_amp(self.h_s_net(z_hat))
         key = self.make_rng("noise") if training else None
         y_hat, y_likelihoods = self.gaussian_conditional(
             y, scales_hat, training=training, key=key
         )
-        x_hat = self.g_s_net(y_hat).astype(jnp.float32)
+        x_hat = from_amp(self.g_s_net(y_hat))
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},
@@ -207,28 +208,28 @@ class MeanScaleHyperprior(ScaleHyperprior):
 
     def h_a(self, y):
         # no abs for the mean-scale variant
-        return self.h_a_net(y).astype(jnp.float32)
+        return from_amp(self.h_a_net(y))
 
     def hyper_to_params(self, z_hat):
-        params = self.h_s_net(z_hat).astype(jnp.float32)
+        params = from_amp(self.h_s_net(z_hat))
         scales, means = jnp.split(params, 2, axis=-1)
         return scales, means
 
     def analyze(self, x):
-        y = self.g_a_net(x).astype(jnp.float32)
-        z = self.h_a_net(y).astype(jnp.float32)
+        y = from_amp(self.g_a_net(x))
+        z = from_amp(self.h_a_net(y))
         return y, z
 
     def __call__(self, x, training: bool = True):
-        y = self.g_a_net(x).astype(jnp.float32)
-        z = self.h_a_net(y).astype(jnp.float32)
+        y = from_amp(self.g_a_net(x))
+        z = from_amp(self.h_a_net(y))
         z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
         scales_hat, means_hat = self.hyper_to_params(z_hat)
         key = self.make_rng("noise") if training else None
         y_hat, y_likelihoods = self.gaussian_conditional(
             y, scales_hat, means=means_hat, training=training, key=key
         )
-        x_hat = self.g_s_net(y_hat).astype(jnp.float32)
+        x_hat = from_amp(self.g_s_net(y_hat))
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},

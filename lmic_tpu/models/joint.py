@@ -36,6 +36,7 @@ from lmic_tpu.entropy.entropy_models import (
     get_scale_table,
 )
 from lmic_tpu.layers import Conv, Deconv, MaskedConv2d
+from lmic_tpu.ops.math import from_amp
 from lmic_tpu.models.codec import CompressionCodec
 from lmic_tpu.models.image import MeanScaleHyperprior
 
@@ -87,7 +88,7 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
     def hyper_to_params(self, z_hat):
         """z_hat -> hyper params at y resolution (NOT yet split: the split
         happens after fusing with the context features)."""
-        return self.h_s_net(z_hat).astype(jnp.float32)
+        return from_amp(self.h_s_net(z_hat))
 
     def entropy_parameters(self, x):
         return self.entropy_parameters_net(x)
@@ -104,10 +105,10 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         # f32 at the entropy boundaries under AMP (dtype=bf16): the
         # quantization noise, context conv, and likelihood math stay f32;
         # only the four transform stacks run in the compute dtype.
-        y = self.g_a_net(x).astype(jnp.float32)
-        z = self.h_a_net(y).astype(jnp.float32)
+        y = from_amp(self.g_a_net(x))
+        z = from_amp(self.h_a_net(y))
         z_hat, z_likelihoods = self.entropy_bottleneck(z, training=training)
-        params = self.h_s_net(z_hat).astype(jnp.float32)
+        params = from_amp(self.h_s_net(z_hat))
 
         # context input y_hat is quantized WITHOUT means
         # (reference google.py:500-502)
@@ -123,7 +124,7 @@ class JointAutoregressiveHierarchicalPriors(MeanScaleHyperprior):
         _, y_likelihoods = self.gaussian_conditional(
             y, scales_hat, means=means_hat, training=training, key=key
         )
-        x_hat = self.g_s_net(y_hat).astype(jnp.float32)
+        x_hat = from_amp(self.g_s_net(y_hat))
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": y_likelihoods, "z": z_likelihoods},

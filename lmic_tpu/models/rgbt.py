@@ -44,6 +44,7 @@ from lmic_tpu.entropy.entropy_models import (
 )
 from lmic_tpu.layers import GDN, Conv, Deconv, MaskedConv2d, conv1x1, conv3x3
 from lmic_tpu.models.image import ScaleHyperprior
+from lmic_tpu.ops.math import from_amp
 from lmic_tpu.models.joint import (
     JointARCodec,
     JointAutoregressiveHierarchicalPriors,
@@ -401,10 +402,10 @@ class GuidedCompresser(JointAutoregressiveHierarchicalPriors):
                              dtype=self.dtype)
 
     def g_a(self, x):
-        return self.g_a_net(x)[0].astype(jnp.float32)
+        return from_amp(self.g_a_net(x)[0])
 
     def g_s(self, y_hat):
-        return self.g_s_net(y_hat)[0].astype(jnp.float32)
+        return from_amp(self.g_s_net(y_hat)[0])
 
     def g_a_hidden(self, x):
         """y plus the encoder hidden maps (ga1..3)."""
@@ -422,8 +423,8 @@ class GuidedCompresser(JointAutoregressiveHierarchicalPriors):
                                    "gs3": g3.astype(f32)}
 
     def analyze(self, x):
-        y = self.g_a_net(x)[0].astype(jnp.float32)
-        z = self.h_a_net(y).astype(jnp.float32)
+        y = from_amp(self.g_a_net(x)[0])
+        z = from_amp(self.h_a_net(y))
         return y, z
 
     def __call__(self, x, training: bool = True):

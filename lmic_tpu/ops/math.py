@@ -80,3 +80,14 @@ class NonNegativeParametrizer:
     def __call__(self, x):
         out = lower_bound(x, jnp.asarray(self._bound, dtype=x.dtype))
         return out**2 - self.pedestal
+
+
+def from_amp(x):
+    """Upcast AMP activations (bf16/f16) to f32 at the entropy/loss
+    boundaries; identity for f32 and f64. Never downcasts — the f64
+    gradient-parity tests (tests/test_pretrained_import.py) run the
+    whole graph in x64, and an unconditional f32 cast here would
+    truncate it to f32 precision."""
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        return x.astype(jnp.float32)
+    return x

@@ -43,13 +43,21 @@ def _prec(x):
     return jax.lax.Precision.DEFAULT
 
 
+def _acc_dtype(x):
+    """Accumulation dtype: f32 for f32/bf16 activations (AMP keeps
+    reductions in f32), f64 when the whole computation runs in f64
+    (the gradient-parity tests vs torch autograd)."""
+    return jnp.float64 if x.dtype == jnp.float64 else jnp.float32
+
+
 def _gdn_jnp(x, beta, gamma, inverse: bool):
+    acc = _acc_dtype(x)
     norm = (
         jnp.einsum(
             "...i,oi->...o", jnp.square(x), gamma,
-            precision=_prec(x), preferred_element_type=jnp.float32,
+            precision=_prec(x), preferred_element_type=acc,
         )
-        + beta.astype(jnp.float32)
+        + beta.astype(acc)
     )
     if inverse:
         return x * jnp.sqrt(norm).astype(x.dtype)
@@ -137,40 +145,41 @@ def _gdn_fwd(x, beta, gamma, inverse):
 
 
 def _gdn_bwd_jnp(inverse, res, g):
-    # dn and the norm accumulate in f32 regardless of the activation dtype
-    # (AMP keeps reductions in f32); the returned cotangents match the
-    # primal dtypes as custom_vjp requires. For f32 inputs every cast is
-    # an identity and the math is unchanged.
+    # dn and the norm accumulate in f32 for f32/bf16 activations (AMP
+    # keeps reductions in f32) and in f64 under x64; the returned
+    # cotangents match the primal dtypes as custom_vjp requires. For
+    # f32 inputs every cast is an identity and the math is unchanged.
     x, beta, gamma = res
     prec = _prec(x)
+    acc = _acc_dtype(x)
     norm = (
         jnp.einsum(
             "...i,oi->...o", jnp.square(x), gamma,
-            precision=prec, preferred_element_type=jnp.float32,
+            precision=prec, preferred_element_type=acc,
         )
-        + beta.astype(jnp.float32)
+        + beta.astype(acc)
     )
-    g32 = g.astype(jnp.float32)
-    x32 = x.astype(jnp.float32)
+    g32 = g.astype(acc)
+    x32 = x.astype(acc)
     if inverse:
         # y = x * n^(1/2);  dL/dn_j = g_j x_j (1/2) n_j^(-1/2)
         dn = 0.5 * g32 * x32 * jax.lax.rsqrt(norm)
         dx = g32 * jnp.sqrt(norm) + 2.0 * x32 * jnp.einsum(
             "...j,ji->...i", dn.astype(x.dtype), gamma,
-            precision=prec, preferred_element_type=jnp.float32,
+            precision=prec, preferred_element_type=acc,
         )
     else:
         # y = x * n^(-1/2);  dL/dn_j = -g_j x_j (1/2) n_j^(-3/2)
         dn = -0.5 * g32 * x32 * norm ** -1.5
         dx = g32 * jax.lax.rsqrt(norm) + 2.0 * x32 * jnp.einsum(
             "...j,ji->...i", dn.astype(x.dtype), gamma,
-            precision=prec, preferred_element_type=jnp.float32,
+            precision=prec, preferred_element_type=acc,
         )
     dbeta = dn.reshape(-1, x.shape[-1]).sum(0)
     x2 = jnp.square(x).reshape(-1, x.shape[-1])
     dgamma = jnp.einsum(
         "no,ni->oi", dn.reshape(-1, x.shape[-1]).astype(x.dtype), x2,
-        precision=prec, preferred_element_type=jnp.float32,
+        precision=prec, preferred_element_type=acc,
     )
     return (
         dx.astype(x.dtype),

@@ -27,6 +27,9 @@ def save_checkpoint(path: str, state, extra: Optional[Dict[str, Any]] = None,
         "state": flax.serialization.to_bytes(jax.device_get(state)),
         "extra": extra or {},
     }
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)

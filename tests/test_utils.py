@@ -92,6 +92,22 @@ class TestCheckpoint:
         k1 = state2.params["g_a_net"]["layers_0"]["Conv_0"]["kernel"]
         np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
 
+    def test_save_creates_parent_dirs(self, tmp_path):
+        # lmic-train --save-dir some/new/dir must not require pre-creating
+        # the directory (reference train.py writes into cwd; we exceed it).
+        from lmic_tpu.models.image import FactorizedPrior
+
+        module = FactorizedPrior(N=16, M=24)
+        x = jnp.zeros((1, 32, 32, 3))
+        v = module.init(
+            {"params": jax.random.key(0), "noise": jax.random.key(1)}, x
+        )
+        state = create_train_state(v["params"], make_optimizer())
+        path = str(tmp_path / "nested" / "deeper" / "test.ckpt")
+        ckpt.save_checkpoint(path, state, {"epoch": 1})
+        _, extra = ckpt.load_checkpoint(path, state)
+        assert extra["epoch"] == 1
+
     def test_update_model_roundtrip(self, tmp_path):
         from lmic_tpu.models.image import FactorizedPrior
         from lmic_tpu.models.codec import FactorizedPriorCodec
