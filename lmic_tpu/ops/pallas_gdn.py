@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-TILE_N = 256
+# Activation rows per grid step. 512 measured best on v5e for the
+# hyperprior shapes (2026-08-20 microbench, fwd+bwd chained on-chip:
+# 256 -> 6.41 ms, 512 -> 6.22 ms, 1024/2048 within noise above it);
+# env-tunable for other chips.
+TILE_N = int(os.environ.get("LMIC_GDN_TILE_N", 512))
 
 
 def _prec(x):
